@@ -1,0 +1,63 @@
+"""Energy minimization: jitted FIRE descent.
+
+Fills the role of the reference's initial relaxation
+(`max_init_relaxation_iters`, src/docking/mod.rs:115) and `step_energy_min`
+(src/mol_alignment.rs:229) — run as a fixed-iteration lax.fori_loop so the
+whole minimization is one XLA program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def fire_minimize(
+    force_fn,              # (x, box, couple) -> (F, (E, terms))
+    x0,
+    box,
+    couple,
+    dof_mask,
+    n_steps: int = 200,
+    dt_start: float = 1e-3,
+    dt_max: float = 1e-2,
+    max_disp: float = 0.1,
+    f_inc: float = 1.1,
+    f_dec: float = 0.5,
+    alpha_start: float = 0.1,
+    f_alpha: float = 0.99,
+    n_min: int = 5,
+):
+    """FIRE (fast inertial relaxation engine). Returns (x_min, E_min)."""
+    dm = dof_mask[:, None]
+
+    def body(_, carry):
+        x, v, dt, alpha, n_pos = carry
+        f, (e, _) = force_fn(x, box, couple)
+        f = f * dm
+        p = jnp.sum(f * v)
+        f_norm = jnp.sqrt(jnp.sum(f * f)) + 1e-12
+        v_norm = jnp.sqrt(jnp.sum(v * v))
+        v = (1.0 - alpha) * v + alpha * f / f_norm * v_norm
+        uphill = p <= 0.0
+        v = jnp.where(uphill, jnp.zeros_like(v), v)
+        n_pos = jnp.where(uphill, 0, n_pos + 1)
+        grow = jnp.logical_and(jnp.logical_not(uphill), n_pos > n_min)
+        dt = jnp.where(grow, jnp.minimum(dt * f_inc, dt_max),
+                       jnp.where(uphill, dt * f_dec, dt))
+        alpha = jnp.where(grow, alpha * f_alpha,
+                          jnp.where(uphill, alpha_start, alpha))
+        v = v + dt * f
+        dx = dt * v
+        # clamp per-atom displacement
+        dx_norm = jnp.sqrt(jnp.sum(dx * dx, axis=-1, keepdims=True)) + 1e-12
+        dx = dx * jnp.minimum(1.0, max_disp / dx_norm)
+        return x + dx * dm, v, dt, alpha, n_pos
+
+    v0 = jnp.zeros_like(x0)
+    x, _, _, _, _ = jax.lax.fori_loop(
+        0, n_steps, body,
+        (x0, v0, jnp.asarray(dt_start, x0.dtype),
+         jnp.asarray(alpha_start, x0.dtype), jnp.asarray(0)),
+    )
+    _, (e, _) = force_fn(x, box, couple)
+    return x, e

@@ -1,0 +1,17 @@
+"""Test harness config: run on a virtual 8-device CPU mesh with x64 enabled.
+
+Multi-chip sharding is validated here the JAX way — a host-platform device
+count of 8 stands in for an 8-chip TPU slice (SURVEY.md §4 implication (d)).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
