@@ -57,6 +57,7 @@ def make_energy_fn(top: Topology, cfg: MdConfig, method: str = "allpairs",
         ewald_beta = None
         e_recip = jnp.zeros((), x.dtype)
         e_self = jnp.zeros((), x.dtype)
+        overflow = jnp.zeros((), jnp.int32)
         if method == "allpairs":
             e_lj, e_c = nb.allpairs_energy(
                 x, None, top, couple,
@@ -74,7 +75,7 @@ def make_energy_fn(top: Topology, cfg: MdConfig, method: str = "allpairs",
             from ..ops.pme import ewald_beta_for
 
             ewald_beta = ewald_beta_for(cfg.coulomb_cutoff, cfg.ewald_rtol)
-            e_lj, e_c = direct_space_fn(x, box, couple, ewald_beta)
+            e_lj, e_c, overflow = direct_space_fn(x, box, couple, ewald_beta)
             if ov.lj_disabled:
                 e_lj = jnp.zeros_like(e_lj)
             if ov.coulomb_disabled:
@@ -112,6 +113,7 @@ def make_energy_fn(top: Topology, cfg: MdConfig, method: str = "allpairs",
             energy_potential=total,
             energy_potential_bonded=e_bonded,
             energy_potential_nonbonded=e_nb,
+            cell_overflow=jax.lax.stop_gradient(overflow),
         )
         return total, terms
 

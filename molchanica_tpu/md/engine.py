@@ -78,7 +78,8 @@ class MdSim:
             from ..ops.cells import make_cell_direct_space_fn
             from ..ops.pme import make_pme_recip_fn
 
-            direct_fn = make_cell_direct_space_fn(top, cfg, np.asarray(box_extent))
+            direct_fn = make_cell_direct_space_fn(
+                top, cfg, np.asarray(box_extent), x0=np.asarray(x0))
             recip_fn = make_pme_recip_fn(top, cfg, np.asarray(box_extent))
         self.energy_fn = make_energy_fn(
             top, cfg, self.method, pme_recip_fn=recip_fn,
@@ -125,11 +126,12 @@ class MdSim:
             x_min, _ = jax.jit(
                 lambda x: fire_minimize(
                     self.force_fn, x, box, self.state.couple, top.dof_mask,
-                    n_steps=cfg.max_init_relaxation_iters)
+                    n_steps=cfg.max_init_relaxation_iters,
+                    constrain_positions=cp)
             )(self.state.positions)
-            if cp is not None:
-                x_min = cp(x_min, self.state.positions)
-            self.state = self.state.replace(positions=x_min)
+            from .energy import apply_virtual_sites
+            self.state = self.state.replace(
+                positions=apply_virtual_sites(x_min, top))
 
     # ------------------------------------------------------------------
     def configure_alchemical_window(self, lam: float):
@@ -188,6 +190,8 @@ class MdSim:
                 None, length=n_steps)
             if zero_com:
                 v = remove_com_drift(v, masses, dof_mask)
+            from .energy import apply_virtual_sites
+            x = apply_virtual_sites(x, self.top)  # keep M-site rows live
             _, (e_final, terms) = self.force_fn(x, box, state.couple)
             ke = kinetic_energy(v, masses, dof_mask)
             dhdl = self.dhdl_fn(x, box, state.couple)
@@ -266,7 +270,8 @@ def compute_energy_snapshot(top: Topology, cfg: MdConfig, x, box_extent=None,
     if sim_method == "cells_pme":
         from ..ops.cells import make_cell_direct_space_fn
         from ..ops.pme import make_pme_recip_fn
-        direct_fn = make_cell_direct_space_fn(top, cfg, np.asarray(box_extent))
+        direct_fn = make_cell_direct_space_fn(
+            top, cfg, np.asarray(box_extent), x0=np.asarray(x))
         recip_fn = make_pme_recip_fn(top, cfg, np.asarray(box_extent))
     e_fn = make_energy_fn(top, cfg, sim_method, pme_recip_fn=recip_fn,
                           direct_space_fn=direct_fn)

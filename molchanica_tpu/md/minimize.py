@@ -26,9 +26,15 @@ def fire_minimize(
     alpha_start: float = 0.1,
     f_alpha: float = 0.99,
     n_min: int = 5,
+    constrain_positions=None,
 ):
-    """FIRE (fast inertial relaxation engine). Returns (x_min, E_min)."""
+    """FIRE (fast inertial relaxation engine). Returns (x_min, E_min).
+
+    `constrain_positions(x_new, x_ref)` is applied after every move so rigid
+    waters / constrained H stay on the constraint manifold during relaxation
+    (they carry no bonded restoring terms)."""
     dm = dof_mask[:, None]
+    cp = constrain_positions or (lambda x_new, x_ref: x_new)
 
     def body(_, carry):
         x, v, dt, alpha, n_pos = carry
@@ -51,7 +57,7 @@ def fire_minimize(
         # clamp per-atom displacement
         dx_norm = jnp.sqrt(jnp.sum(dx * dx, axis=-1, keepdims=True)) + 1e-12
         dx = dx * jnp.minimum(1.0, max_disp / dx_norm)
-        return x + dx * dm, v, dt, alpha, n_pos
+        return cp(x + dx * dm, x), v, dt, alpha, n_pos
 
     v0 = jnp.zeros_like(x0)
     x, _, _, _, _ = jax.lax.fori_loop(

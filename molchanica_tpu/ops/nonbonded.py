@@ -48,7 +48,9 @@ def lj_softcore_energy(r2, sigma, eps, couple):
     """
     s2 = (sigma * sigma) / r2
     s6 = s2 * s2 * s2               # (sigma/r)^6
-    inv = 1.0 / (SOFTCORE_ALPHA * (1.0 - couple) + 1.0 / s6)
+    # inv = 1/(a + s^-6) written as s6/(a s6 + 1): finite and differentiable
+    # at sigma = 0 (e.g. water hydrogens carry no LJ site)
+    inv = s6 / (SOFTCORE_ALPHA * (1.0 - couple) * s6 + 1.0)
     return 4.0 * eps * couple * (inv * inv - inv)
 
 

@@ -2,10 +2,15 @@
 
 Multi-chip sharding is validated here the JAX way — a host-platform device
 count of 8 stands in for an 8-chip TPU slice (SURVEY.md §4 implication (d)).
+
+Environment gotcha: this image injects the `axon` TPU tunnel via
+PYTHONPATH=/root/.axon_site sitecustomize, which force-selects the axon
+platform even if JAX_PLATFORMS=cpu is exported. The only reliable override
+after interpreter start is jax.config.update('jax_platforms', 'cpu'), done
+below BEFORE any backend is initialized.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +19,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
