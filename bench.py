@@ -1,0 +1,84 @@
+"""Headline benchmark: MD ns/day on a ~25k-site solvated protein (config 3).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Baseline target (BASELINE.md): 500 ns/day at 2 fs on one TPU v5e chip.
+
+Run from the repo root with the ambient environment (JAX_PLATFORMS=axon).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from molchanica_tpu.md.config import HydrogenConstraint, Integrator, MdConfig
+    from molchanica_tpu.md.engine import MdSim
+    from molchanica_tpu.systems.bench_systems import build_solvated_protein
+
+    quick = "--quick" in sys.argv
+    n_res = 60 if quick else 250
+    target = 6000 if quick else 25000
+
+    t0 = time.perf_counter()
+    asys = build_solvated_protein(n_residues=n_res, target_sites=target,
+                                  seed=3)
+    build_s = time.perf_counter() - t0
+
+    cfg = MdConfig(
+        integrator=Integrator.langevin_middle(gamma=1.0),
+        temp_target=310.0,
+        lj_cutoff=9.0,
+        coulomb_cutoff=9.0,
+        hydrogen_constraint=HydrogenConstraint.shake(),
+        dtype="float32",
+        max_init_relaxation_iters=300,
+        steps_per_chunk=100,
+        seed=7,
+    )
+    t0 = time.perf_counter()
+    sim = MdSim(asys.topology, cfg, asys.positions,
+                box_extent=asys.box_extent, method="cells_pme")
+    setup_s = time.perf_counter() - t0
+
+    dt_ps = 0.002
+    # warm-up: compile + brief equilibration
+    t0 = time.perf_counter()
+    sim.step(dt_ps, 100)
+    warm_s = time.perf_counter() - t0
+
+    n_steps = 200 if quick else 1000
+    t0 = time.perf_counter()
+    sim.step(dt_ps, n_steps)
+    elapsed = time.perf_counter() - t0
+
+    ns_per_day = (n_steps * dt_ps / 1000.0) / elapsed * 86400.0
+    n_sites = asys.topology.n_atoms_real
+    t_final = sim.temperature()
+    ok = bool(np.isfinite(np.asarray(sim.state.positions)).all()
+              and 100.0 < t_final < 600.0)
+
+    result = {
+        "metric": "md_ns_per_day_25k_solvated_protein",
+        "value": round(float(ns_per_day), 2),
+        "unit": "ns/day",
+        "vs_baseline": round(float(ns_per_day) / 500.0, 4),
+        "n_atom_sites": int(n_sites),
+        "n_steps_timed": int(n_steps),
+        "ms_per_step": round(float(elapsed) / n_steps * 1000.0, 3),
+        "temperature_K": round(float(t_final), 1),
+        "stable": bool(ok),
+        "build_s": round(float(build_s), 1),
+        "setup_s": round(float(setup_s), 1),
+        "warmup_s": round(float(warm_s), 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -181,6 +181,7 @@ class MdConfig:
     ewald_rtol: float = 1e-5          # erfc(beta*rc) target at the cutoff
     pme_every: int = 1                # reciprocal-space evaluation interval
     cell_capacity_factor: float = 1.7 # padding headroom for cell binning
+    use_pallas: bool = True           # fused TPU kernel for direct space
     seed: int = 0
 
     def replace(self, **kw):

@@ -115,19 +115,21 @@ def make_constraint_fns(top: Topology, cfg: MdConfig, box):
         is_water_np = is_water_np[keep]
         n_con = int(mask_np.sum())
 
+    # all setup math in numpy: eager jnp ops are remote compiles on some
+    # backends (axon tunnel) and would cost seconds each
     dtype = jnp.dtype(cfg.dtype)
     atom_idx = jnp.asarray(np.where(atom_idx_np < 0, 0, atom_idx_np))
-    slot_valid = jnp.asarray((atom_idx_np >= 0).astype(np.float64), dtype)
+    slot_valid_np = (atom_idx_np >= 0).astype(np.float64)
+    slot_valid = jnp.asarray(slot_valid_np, dtype)
     dists2 = jnp.asarray(dists_np ** 2, dtype)
     cmask = jnp.asarray(mask_np, dtype)
-    is_water = jnp.asarray(is_water_np)
     # per-cluster local constraint pairs [C,3,2]
-    con_local = jnp.where(
-        is_water[:, None, None], jnp.asarray(_CON_WATER)[None],
-        jnp.asarray(_CON_HX)[None])
+    con_local = jnp.asarray(np.where(
+        is_water_np[:, None, None], _CON_WATER[None], _CON_HX[None]))
+    masses_np = np.asarray(top.masses, np.float64)
     inv_m = jnp.asarray(
-        1.0 / np.maximum(np.asarray(top.masses, np.float64)[atom_idx_np.clip(0)], 1e-9),
-        dtype) * slot_valid                       # [C,4]
+        (1.0 / np.maximum(masses_np[atom_idx_np.clip(0)], 1e-9))
+        * slot_valid_np, dtype)                   # [C,4]
 
     n_iters = max(cfg.hydrogen_constraint.iters * 4, 8) \
         if cfg.hydrogen_constraint.kind == "linear" else 8

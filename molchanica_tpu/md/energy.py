@@ -86,6 +86,36 @@ def make_energy_fn(top: Topology, cfg: MdConfig, method: str = "allpairs",
                 e_c = e_c + nb.ewald_exclusion_correction(
                     x, box, top, couple, ewald_beta,
                 )
+        elif method == "pme_rest":
+            # Everything EXCEPT the direct-space window sums (those come from
+            # the Pallas kernel): reciprocal + self + erf exclusion
+            # correction, MINUS the kernel-formula contribution of excluded
+            # and 1-4 pairs (the kernel computes all close pairs).
+            from ..ops.pallas.direct_force import (
+                pairlist_kernel_formula_energy,
+            )
+            from ..ops.pme import ewald_beta_for
+
+            ewald_beta = ewald_beta_for(cfg.coulomb_cutoff, cfg.ewald_rtol)
+            rc2 = max(cfg.lj_cutoff, cfg.coulomb_cutoff) ** 2
+            el_x, ec_x = pairlist_kernel_formula_energy(
+                x, box, top, top.excl_idx, top.excl_mask, couple,
+                ewald_beta, rc2)
+            el_4, ec_4 = pairlist_kernel_formula_energy(
+                x, box, top, top.pair14_idx, top.pair14_mask, couple,
+                ewald_beta, rc2)
+            e_lj = -(el_x + el_4)
+            e_c = -(ec_x + ec_4)
+            if ov.lj_disabled:
+                e_lj = jnp.zeros_like(e_lj)
+            if ov.coulomb_disabled:
+                e_c = jnp.zeros_like(e_c)
+            if not (ov.long_range_recip_disabled or ov.coulomb_disabled):
+                e_recip = pme_recip_fn(x, box, couple)
+                e_self = _ewald_self_energy(top, couple, ewald_beta)
+                e_c = e_c + nb.ewald_exclusion_correction(
+                    x, box, top, couple, ewald_beta,
+                )
         else:
             raise ValueError(method)
 

@@ -39,6 +39,19 @@ def select_method(box_extent, n_atoms, cfg: MdConfig) -> str:
     return "cells_pme"
 
 
+def _build_xla_energy(top, cfg, method, box_np, x0_np):
+    """Reference XLA energy function for the given method."""
+    direct_fn = recip_fn = None
+    if method == "cells_pme":
+        from ..ops.cells import make_cell_direct_space_fn
+        from ..ops.pme import make_pme_recip_fn
+
+        direct_fn = make_cell_direct_space_fn(top, cfg, box_np, x0=x0_np)
+        recip_fn = make_pme_recip_fn(top, cfg, box_np)
+    return make_energy_fn(top, cfg, method, pme_recip_fn=recip_fn,
+                          direct_space_fn=direct_fn)
+
+
 class MdSim:
     """One simulation instance: static topology + config, dynamic MdState.
 
@@ -66,45 +79,142 @@ class MdSim:
                 f"unknown integrator kind: {cfg.integrator.kind!r} "
                 "(expected leapfrog | verlet_velocity | langevin_middle)")
         dtype = jnp.dtype(cfg.dtype)
-        x0 = jnp.asarray(x0, dtype)
-        n = x0.shape[0]
+        # keep a host-side copy: casting/binning happens in numpy, and
+        # device->host round-trips of freshly-put arrays can stall on
+        # remote-compile backends
+        x0_np = np.asarray(x0, dtype)
+        x0 = jnp.asarray(x0_np)
+        n = x0_np.shape[0]
         assert n == top.n_atoms, (n, top.n_atoms)
         self.method = method or select_method(box_extent, n, cfg)
-        box = None if box_extent is None else jnp.asarray(box_extent, dtype)
-
-        # --- energy / force programs ---
-        direct_fn = recip_fn = None
-        if self.method == "cells_pme":
-            from ..ops.cells import make_cell_direct_space_fn
-            from ..ops.pme import make_pme_recip_fn
-
-            direct_fn = make_cell_direct_space_fn(
-                top, cfg, np.asarray(box_extent), x0=np.asarray(x0))
-            recip_fn = make_pme_recip_fn(top, cfg, np.asarray(box_extent))
-        self.energy_fn = make_energy_fn(
-            top, cfg, self.method, pme_recip_fn=recip_fn,
-            direct_space_fn=direct_fn,
-        )
-        self.force_fn = make_force_fn(self.energy_fn)
-        self.dhdl_fn = make_dhdl_fn(self.energy_fn)
+        box_np = None if box_extent is None else np.asarray(box_extent, dtype)
+        box = None if box_np is None else jnp.asarray(box_np)
 
         # --- constraints ---
         cp, cv, self.n_constraints = make_constraint_fns(top, cfg, box)
-
         self._cp, self._cv = cp, cv
+
+        # --- energy / force programs ---
+        # Two direct-space backends: the fused Pallas force kernel (TPU,
+        # f32 — the production path) and the XLA shift-window (reference/
+        # fallback; CPU tests, f64 validation, small boxes).
+        self._use_pallas = (
+            self.method == "cells_pme" and cfg.use_pallas
+            and dtype == jnp.float32 and jax.default_backend() != "cpu")
+        direct_fn = recip_fn = None
+        self._force_nbr = None
+        if self.method == "cells_pme":
+            from ..ops.pme import ewald_beta_for, make_pme_recip_fn
+
+            recip_fn = make_pme_recip_fn(top, cfg, box_np)
+            if self._use_pallas:
+                from ..ops.pallas.direct_force import (
+                    make_pallas_direct_fn,
+                    make_rebuild_fn,
+                    plan_window,
+                )
+                try:
+                    plan = plan_window(
+                        box_np, max(cfg.lj_cutoff, cfg.coulomb_cutoff),
+                        top.n_atoms_real, n, x0=x0_np,
+                        capacity_factor=cfg.cell_capacity_factor)
+                except AssertionError:
+                    self._use_pallas = False
+            if self._use_pallas:
+                self._plan = plan
+                beta = ewald_beta_for(cfg.coulomb_cutoff, cfg.ewald_rtol)
+                self._rebuild = make_rebuild_fn(plan, top.atom_mask)
+                pdirect = make_pallas_direct_fn(top, cfg, plan)
+                rest_e_fn = make_energy_fn(
+                    top, cfg, "pme_rest", pme_recip_fn=recip_fn)
+                rest_fg = make_force_fn(rest_e_fn)
+
+                from .energy import apply_virtual_sites
+
+                vs = top.vsite_idx
+                vs_m, vs_o = vs[:, 0], vs[:, 1]
+                vs_h1, vs_h2 = vs[:, 2], vs[:, 3]
+                vs_w = top.vsite_weight[:, None]
+                vs_mask = top.vsite_mask[:, None]
+
+                def spread_vsite_forces(f):
+                    """M = (1-2w) O + w H1 + w H2 is linear — spread the
+                    kernel's M-site forces onto the parents exactly."""
+                    if int(np.asarray(top.vsite_mask).sum()) == 0:
+                        return f
+                    fm = f[vs_m] * vs_mask
+                    f = f.at[vs_m].add(-fm)
+                    f = f.at[vs_o].add((1.0 - 2.0 * vs_w) * fm)
+                    f = f.at[vs_h1].add(vs_w * fm)
+                    f = f.at[vs_h2].add(vs_w * fm)
+                    return f
+
+                def force_nbr(x, box, couple, slot_atom, inv_slot):
+                    x = apply_virtual_sites(x, top)  # M tracks O/H1/H2
+                    f1, e_lj, e_c = pdirect(
+                        x, box, couple, beta, slot_atom, inv_slot)
+                    f1 = spread_vsite_forces(f1)
+                    f2, (e_rest, terms) = rest_fg(x, box, couple)
+                    e_tot = e_rest + e_lj + e_c
+                    terms = dict(terms)
+                    terms["lj"] = terms["lj"] + e_lj
+                    terms["coulomb"] = terms["coulomb"] + e_c
+                    terms["energy_potential"] = e_tot
+                    terms["energy_potential_nonbonded"] = (
+                        terms["energy_potential_nonbonded"] + e_lj + e_c)
+                    return f1 + f2, (e_tot, terms)
+
+                self._force_nbr = force_nbr
+                rebuild = self._rebuild
+
+                def force_fn(x, box, couple):
+                    sa, inv, _ = rebuild(x, box)
+                    return force_nbr(x, box, couple, sa, inv)
+
+                self.force_fn = force_fn
+                self.energy_fn = lambda x, box, couple: force_fn(
+                    x, box, couple)[1]
+                has_alch = bool(np.asarray(top.couple_mask).sum() > 0)
+                if has_alch:
+                    def dhdl_fn(x, box, couple):
+                        h = jnp.asarray(1e-3, x.dtype)
+                        ep = force_fn(x, box, couple + h)[1][0]
+                        em = force_fn(x, box, couple - h)[1][0]
+                        return -(ep - em) / (2.0 * h)  # d/dlambda = -d/dcouple
+                else:
+                    def dhdl_fn(x, box, couple):
+                        return jnp.zeros((), x.dtype)
+                self.dhdl_fn = dhdl_fn
+            else:
+                from ..ops.cells import make_cell_direct_space_fn
+
+                direct_fn = make_cell_direct_space_fn(
+                    top, cfg, box_np, x0=x0_np)
+        if not self._use_pallas:
+            self.energy_fn = make_energy_fn(
+                top, cfg, self.method, pme_recip_fn=recip_fn,
+                direct_space_fn=direct_fn,
+            )
+            self.force_fn = make_force_fn(self.energy_fn)
+            self.dhdl_fn = make_dhdl_fn(self.energy_fn)
+
         self._external_forces_fn = external_forces_fn
         self._chunk_cache = {}
 
         # --- state init ---
+        # NOTE: everything device-side is jitted — on remote-compile backends
+        # (axon tunnel) each eager op is an HTTP round-trip compile.
         key = jax.random.PRNGKey(cfg.seed)
         key, vkey = jax.random.split(key)
         if velocities is None:
-            velocities = init_velocities(
-                vkey, top.masses, top.dof_mask, cfg.temp_target, dtype)
+            velocities = jax.jit(
+                lambda k: init_velocities(
+                    k, top.masses, top.dof_mask, cfg.temp_target, dtype)
+            )(vkey)
         else:
             velocities = jnp.asarray(velocities, dtype)
         if cp is not None:
-            x0 = cp(x0, x0)
+            x0 = jax.jit(cp)(x0, x0)
 
         self.state = MdState(
             positions=x0,
@@ -123,12 +233,21 @@ class MdSim:
         if relax is None:
             relax = cfg.max_init_relaxation_iters is not None
         if relax and cfg.max_init_relaxation_iters:
-            x_min, _ = jax.jit(
-                lambda x: fire_minimize(
-                    self.force_fn, x, box, self.state.couple, top.dof_mask,
+            if self._use_pallas:
+                from .minimize import fire_minimize_hostloop
+                x_min, _ = fire_minimize_hostloop(
+                    self.force_fn, self.state.positions, box,
+                    self.state.couple, top.dof_mask,
                     n_steps=cfg.max_init_relaxation_iters,
                     constrain_positions=cp)
-            )(self.state.positions)
+            else:
+                x_min, _ = jax.jit(
+                    lambda x: fire_minimize(
+                        self.force_fn, x, box, self.state.couple,
+                        top.dof_mask,
+                        n_steps=cfg.max_init_relaxation_iters,
+                        constrain_positions=cp)
+                )(self.state.positions)
             from .energy import apply_virtual_sites
             self.state = self.state.replace(
                 positions=apply_virtual_sites(x_min, top))
@@ -147,13 +266,9 @@ class MdSim:
         return int(self.state.step)
 
     # ------------------------------------------------------------------
-    def _get_chunk_fn(self, n_steps: int, dt: float, record_energy: bool):
-        key = (n_steps, dt, record_energy)
-        if key in self._chunk_cache:
-            return self._chunk_cache[key]
-
-        one_step = make_integrator_step(
-            self.force_fn, self.top.masses, self.top.dof_mask,
+    def _make_one_step(self, dt: float, force_fn, force_cap=None):
+        return make_integrator_step(
+            force_fn, self.top.masses, self.top.dof_mask,
             self.cfg.integrator.kind, dt=dt,
             temp_target=self.cfg.temp_target,
             thermostat_tau=self.cfg.integrator.thermostat_tau,
@@ -161,56 +276,203 @@ class MdSim:
             constrain_positions=self._cp, constrain_velocities=self._cv,
             n_constraints=self.n_constraints,
             external_forces_fn=self._external_forces_fn,
+            force_cap=force_cap,
         )
+
+    # ------------------------------------------------------------------
+    # Pallas path: one jitted program per step, driven by a host loop.
+    #
+    # The axon remote AOT compiler has been observed to miscompile or crash
+    # on complex programs that nest the Pallas custom call inside long
+    # lax.scan/fori loops (validated piecewise: the same math in a host loop
+    # is correct). Keeping the kernel at the top level of a single-step
+    # program sidesteps that; per-dispatch overhead is small relative to the
+    # step cost at production sizes.
+    # ------------------------------------------------------------------
+    def _get_step_fns(self, dt: float, force_cap=None):
+        key = ("step", dt, force_cap)
+        if key in self._chunk_cache:
+            return self._chunk_cache[key]
+        rebuild = self._rebuild
+        force_nbr = self._force_nbr
+
+        def one(x, v, f, key_, box, couple, sa, inv):
+            one_step = self._make_one_step(
+                dt, lambda x_, b_, c_: force_nbr(x_, b_, c_, sa, inv),
+                force_cap)
+            x, v, f, e, terms, key_ = one_step(x, v, f, box, couple, key_)
+            return x, v, f, e, key_
+
+        def first_force(x, box, couple, sa, inv):
+            f, (e, terms) = force_nbr(x, box, couple, sa, inv)
+            if self._external_forces_fn is not None:
+                f = f + self._external_forces_fn(x)
+            return f
+
+        fns = (jax.jit(one), jax.jit(first_force), jax.jit(rebuild))
+        self._chunk_cache[key] = fns
+        return fns
+
+    def _step_pallas_hostloop(self, dt_ps: float, n_steps: int,
+                              record_energy: bool, force_cap):
+        one, first_force, rebuild_jit = self._get_step_fns(
+            float(dt_ps), force_cap)
+        s = self.state
+        x, v, key, box, couple = (s.positions, s.velocities, s.rng_key,
+                                  s.box, s.couple)
+        k_rebuild = self.cfg.neighbor_rebuild_every
+        sa = inv = None
+        f = None
+        energies = []
+        ovf_max = 0
+        for i in range(n_steps):
+            if i % k_rebuild == 0:
+                sa, inv, ovf = rebuild_jit(x, box)
+                f = first_force(x, box, couple, sa, inv)
+            x, v, f, e, key = one(x, v, f, key, box, couple, sa, inv)
+            if record_energy:
+                energies.append(e)
+            if i % 64 == 63:
+                jax.block_until_ready(x)   # keep dispatch queue shallow
+        jax.block_until_ready(x)
+        ovf_max = int(ovf)
+        if self.cfg.zero_com_drift:
+            v = jax.jit(lambda v: remove_com_drift(
+                v, self.top.masses, self.top.dof_mask))(v)
+        from .energy import apply_virtual_sites
+        fin = self._get_finalize_fn()
+        x, e_final, terms, ke, dhdl = fin(x, v, box, couple)
+        self.state = s.replace(
+            positions=x, velocities=v, box=box,
+            step=s.step + n_steps, rng_key=key,
+            pe_last=e_final, ke_last=ke, dhdl_last=dhdl)
+        self._last_terms = terms
+        if ovf_max > 0:
+            raise RuntimeError(
+                f"cell-list overflow: {ovf_max} atoms dropped from binning")
+        return jnp.stack(energies) if record_energy and energies else None
+
+    def _get_finalize_fn(self):
+        if "finalize" in self._chunk_cache:
+            return self._chunk_cache["finalize"]
+        from .energy import apply_virtual_sites
+
+        def fin(x, v, box, couple):
+            x = apply_virtual_sites(x, self.top)
+            _, (e_final, terms) = self.force_fn(x, box, couple)
+            ke = kinetic_energy(v, self.top.masses, self.top.dof_mask)
+            dhdl = self.dhdl_fn(x, box, couple)
+            return x, e_final, terms, ke, dhdl
+
+        fn = jax.jit(fin)
+        self._chunk_cache["finalize"] = fn
+        return fn
+
+    def _get_chunk_fn(self, n_steps: int, dt: float, record_energy: bool,
+                      force_cap=None):
+        key = (n_steps, dt, record_energy, force_cap)
+        if key in self._chunk_cache:
+            return self._chunk_cache[key]
+
         masses, dof_mask = self.top.masses, self.top.dof_mask
         zero_com = self.cfg.zero_com_drift
         baro = self.cfg.barostat_cfg
 
+        # block structure: with the Pallas backend, cell binning is refreshed
+        # every `neighbor_rebuild_every` steps; one chunk = n_blocks blocks.
+        if self._use_pallas:
+            k_steps = min(self.cfg.neighbor_rebuild_every, n_steps)
+            n_blocks = max(n_steps // k_steps, 1)
+            n_steps = n_blocks * k_steps
+        else:
+            k_steps, n_blocks = n_steps, 1
+
+        def make_inner(force_fn):
+            one_step = self._make_one_step(dt, force_fn, force_cap)
+
+            def inner(x, v, key, box, couple):
+                f0, _ = force_fn(x, box, couple)
+                if self._external_forces_fn is not None:
+                    f0 = f0 + self._external_forces_fn(x)
+
+                def body(carry, _):
+                    x, v, f, key, box = carry
+                    x, v, f, e, terms, key = one_step(
+                        x, v, f, box, couple, key)
+                    if baro is not None:
+                        from .barostat import berendsen_scale
+                        x, box = berendsen_scale(
+                            x, box, v, masses, dof_mask, terms, f,
+                            baro.pressure_target, baro.tau, dt)
+                    out = (e,) if record_energy else ()
+                    return (x, v, f, key, box), out
+
+                (x, v, f, key, box), outs = jax.lax.scan(
+                    body, (x, v, f0, key, box), None, length=k_steps)
+                return x, v, key, box, (outs[0] if record_energy else None)
+
+            return inner
+
         def chunk(state: MdState):
-            f0, (e0, _) = self.force_fn(
-                state.positions, state.box, state.couple)
-            if self._external_forces_fn is not None:
-                f0 = f0 + self._external_forces_fn(state.positions)
+            couple = state.couple
+            if self._use_pallas:
+                rebuild = self._rebuild
+                force_nbr = self._force_nbr
 
-            def body(carry, _):
-                x, v, f, key, box = carry
-                x, v, f, e, terms, key = one_step(
-                    x, v, f, box, state.couple, key)
-                if baro is not None:
-                    from .barostat import berendsen_scale
-                    x, box = berendsen_scale(
-                        x, box, v, masses, dof_mask, terms, f,
-                        baro.pressure_target, baro.tau, dt)
-                out = (e,) if record_energy else ()
-                return (x, v, f, key, box), out
+                def outer(carry, _):
+                    x, v, key, box = carry
+                    sa, inv, ovf = rebuild(x, box)
+                    inner = make_inner(
+                        lambda x_, b_, c_: force_nbr(x_, b_, c_, sa, inv))
+                    x, v, key, box, outs = inner(x, v, key, box, couple)
+                    return (x, v, key, box), (outs, ovf)
 
-            (x, v, f, key, box), outs = jax.lax.scan(
-                body, (state.positions, state.velocities, f0,
-                       state.rng_key, state.box),
-                None, length=n_steps)
+                (x, v, key, box), (outs, ovfs) = jax.lax.scan(
+                    outer, (state.positions, state.velocities,
+                            state.rng_key, state.box),
+                    None, length=n_blocks)
+                energies = (outs.reshape(-1) if record_energy else None)
+                max_ovf = jnp.max(ovfs)
+            else:
+                inner = make_inner(self.force_fn)
+                x, v, key, box, energies = inner(
+                    state.positions, state.velocities, state.rng_key,
+                    state.box, couple)
+
             if zero_com:
                 v = remove_com_drift(v, masses, dof_mask)
             from .energy import apply_virtual_sites
             x = apply_virtual_sites(x, self.top)  # keep M-site rows live
-            _, (e_final, terms) = self.force_fn(x, box, state.couple)
+            _, (e_final, terms) = self.force_fn(x, box, couple)
+            if self._use_pallas:
+                terms = dict(terms, cell_overflow=max_ovf)
             ke = kinetic_energy(v, masses, dof_mask)
-            dhdl = self.dhdl_fn(x, box, state.couple)
+            dhdl = self.dhdl_fn(x, box, couple)
             new_state = state.replace(
                 positions=x, velocities=v, box=box,
                 step=state.step + n_steps, rng_key=key,
                 pe_last=e_final, ke_last=ke, dhdl_last=dhdl,
             )
-            return new_state, terms, (outs[0] if record_energy else None)
+            return new_state, terms, energies
 
         fn = jax.jit(chunk)
         self._chunk_cache[key] = fn
         return fn
 
-    def step(self, dt_ps: float, n_steps: int = 1, record_energy=False):
+    def step(self, dt_ps: float, n_steps: int = 1, record_energy=False,
+             force_cap=None):
         """Advance n_steps of size dt_ps (reference: MdState::step,
-        src/md/mod.rs:716 — dt in ps)."""
+        src/md/mod.rs:716 — dt in ps). `force_cap` clamps per-atom forces
+        (kcal/mol/A) — equilibration aid."""
         t0 = time.perf_counter()
-        fn = self._get_chunk_fn(n_steps, float(dt_ps), record_energy)
+        if self._use_pallas:
+            energies = self._step_pallas_hostloop(
+                dt_ps, n_steps, record_energy, force_cap)
+            jax.block_until_ready(self.state.positions)
+            self._wall_time += time.perf_counter() - t0
+            return energies
+        fn = self._get_chunk_fn(n_steps, float(dt_ps), record_energy,
+                                force_cap)
         self.state, terms, energies = fn(self.state)
         jax.block_until_ready(self.state.positions)
         self._wall_time += time.perf_counter() - t0
@@ -247,18 +509,39 @@ class MdSim:
         return self.snapshots
 
     def temperature(self) -> float:
-        return float(instantaneous_temperature(
-            self.state.velocities, self.top.masses, self.top.dof_mask,
-            self.n_constraints))
+        import numpy as _np
+        from ..constants import ACCEL_FACTOR, KB
+        v = _np.asarray(self.state.velocities)
+        m = _np.asarray(self.top.masses)
+        d = _np.asarray(self.top.dof_mask)
+        ke = 0.5 * float((m * d * (v * v).sum(-1)).sum()) / ACCEL_FACTOR
+        ndof = max(3.0 * d.sum() - self.n_constraints - 3.0, 1.0)
+        return 2.0 * ke / (KB * ndof)
+
+    def _jitted_energy(self):
+        # NOTE: jit the FULL force program and drop the forces on the host.
+        # Compiling an energy-only variant (forces DCE'd) has been observed
+        # to miscompile on the axon remote-compile backend (wrong bond/recip
+        # values); the full program is correct and the extra cost is
+        # irrelevant at the call frequency of energy queries.
+        if not hasattr(self, "_energy_jit"):
+            force_jit = jax.jit(self.force_fn)
+            self._energy_jit = lambda x, b, c: force_jit(x, b, c)[1]
+        return self._energy_jit
 
     def potential_energy(self) -> float:
-        e, _ = self.energy_fn(
+        e, _ = self._jitted_energy()(
             self.state.positions, self.state.box, self.state.couple)
         return float(e)
 
     def total_energy(self) -> float:
-        return self.potential_energy() + float(kinetic_energy(
-            self.state.velocities, self.top.masses, self.top.dof_mask))
+        import numpy as _np
+        from ..constants import ACCEL_FACTOR
+        v = _np.asarray(self.state.velocities)
+        m = _np.asarray(self.top.masses)
+        d = _np.asarray(self.top.dof_mask)
+        ke = 0.5 * float((m * d * (v * v).sum(-1)).sum()) / ACCEL_FACTOR
+        return self.potential_energy() + ke
 
 
 def compute_energy_snapshot(top: Topology, cfg: MdConfig, x, box_extent=None,

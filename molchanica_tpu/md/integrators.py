@@ -63,6 +63,7 @@ def make_integrator_step(
     constrain_velocities: Optional[Callable] = None,
     n_constraints: int = 0,
     external_forces_fn: Optional[Callable] = None,
+    force_cap: Optional[float] = None,
 ):
     """Build one_step(x, v, forces, box, couple, key) -> (x, v, forces, E, terms).
 
@@ -79,6 +80,11 @@ def make_integrator_step(
         f, (e, terms) = force_fn(x, box, couple)
         if external_forces_fn is not None:
             f = f + external_forces_fn(x)
+        if force_cap is not None:
+            # per-atom force clamp — equilibration aid for clashy starts
+            # (the GROMACS-style "cap forces" warmup)
+            norm = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True))
+            f = f * jnp.minimum(1.0, force_cap / jnp.maximum(norm, 1e-9))
         return f, e, terms
 
     if kind == "verlet_velocity":

@@ -67,3 +67,53 @@ def fire_minimize(
     )
     _, (e, _) = force_fn(x, box, couple)
     return x, e
+
+
+def fire_minimize_hostloop(
+    force_fn, x0, box, couple, dof_mask, n_steps: int = 200,
+    constrain_positions=None, dt_start=1e-3, dt_max=1e-2, max_disp=0.1,
+    f_inc=1.1, f_dec=0.5, alpha_start=0.1, f_alpha=0.99, n_min=5,
+):
+    """FIRE with a host-side python loop over one jitted iteration.
+
+    Identical math to fire_minimize, but the device program contains a
+    single iteration (force at top level, no lax loop around the Pallas
+    call) — the reliable shape on the axon remote-compile backend.
+    """
+    dm = dof_mask[:, None]
+    cp = constrain_positions or (lambda x_new, x_ref: x_new)
+
+    def one(x, v, dt, alpha, n_pos):
+        f, (e, _) = force_fn(x, box, couple)
+        f = f * dm
+        p = jnp.sum(f * v)
+        f_norm = jnp.sqrt(jnp.sum(f * f)) + 1e-12
+        v_norm = jnp.sqrt(jnp.sum(v * v))
+        v = (1.0 - alpha) * v + alpha * f / f_norm * v_norm
+        uphill = p <= 0.0
+        v = jnp.where(uphill, jnp.zeros_like(v), v)
+        n_pos = jnp.where(uphill, 0, n_pos + 1)
+        grow = jnp.logical_and(jnp.logical_not(uphill), n_pos > n_min)
+        dt = jnp.where(grow, jnp.minimum(dt * f_inc, dt_max),
+                       jnp.where(uphill, dt * f_dec, dt))
+        alpha = jnp.where(grow, alpha * f_alpha,
+                          jnp.where(uphill, alpha_start, alpha))
+        v = v + dt * f
+        dx = dt * v
+        dx_norm = jnp.sqrt(jnp.sum(dx * dx, axis=-1, keepdims=True)) + 1e-12
+        dx = dx * jnp.minimum(1.0, max_disp / dx_norm)
+        return cp(x + dx * dm, x), v, dt, alpha, n_pos, e
+
+    one_jit = jax.jit(one)
+    x = x0
+    v = jnp.zeros_like(x0)
+    dt = jnp.asarray(dt_start, x0.dtype)
+    alpha = jnp.asarray(alpha_start, x0.dtype)
+    n_pos = jnp.asarray(0)
+    e = jnp.zeros((), x0.dtype)
+    for it in range(n_steps):
+        x, v, dt, alpha, n_pos, e = one_jit(x, v, dt, alpha, n_pos)
+        if it % 32 == 31:
+            jax.block_until_ready(x)   # keep the dispatch queue shallow
+    jax.block_until_ready(x)
+    return x, e

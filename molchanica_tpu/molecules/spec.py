@@ -78,6 +78,8 @@ def assemble_system(
     dtype=None,
     seed: int = 0,
     neutralize: bool = False,
+    relieve_clashes: bool = True,
+    clash_distance: float = 1.9,
 ) -> AssembledSystem:
     """Concatenate molecules (+ optional water fill) into one Topology.
 
@@ -176,6 +178,23 @@ def assemble_system(
     eps = np.concatenate(eps)
     positions = np.concatenate(pos)
     n_real = len(masses)
+
+    if relieve_clashes and n_real:
+        from ..systems.overlap_relief import relieve_overlaps
+        if use_explicit_excl:
+            excl_set = set(excl)
+        else:
+            excl_set = {(min(b[0], b[1]), max(b[0], b[1])) for b in bonds}
+            excl_set |= {(min(a[0], a[2]), max(a[0], a[2])) for a in angles}
+        # waters are rigid groups (their internal geometry must survive)
+        rigid = np.full(n_real, -1, np.int64)
+        if n_w > 0:
+            sc = water_model.site_count
+            for w in range(n_w):
+                rigid[water_start + w * sc: water_start + (w + 1) * sc] = w
+        positions = relieve_overlaps(
+            positions, None if box_extent is None else np.asarray(box_extent),
+            excl_set, d_min=clash_distance, rigid_group_id=rigid)
 
     if neutralize:
         qtot = charges.sum()

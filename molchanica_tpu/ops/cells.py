@@ -173,6 +173,10 @@ def make_cell_direct_space_fn(top: Topology, cfg, box_extent, x0=None):
         c4 = cmg.reshape(shape4)
         id4 = gid.reshape(shape4)
 
+        # remat: without it, reverse-mode AD saves every per-shift [.,C,C]
+        # intermediate as scan residuals (tens of GB); recomputing the tile
+        # in the backward pass costs ~2x FLOPs and ~0 extra memory.
+        @jax.checkpoint
         def body(carry, shift):
             acc_lj, acc_c = carry
             roll = lambda a: jnp.roll(a, (shift[0], shift[1], shift[2]),

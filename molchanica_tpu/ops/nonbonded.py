@@ -29,6 +29,9 @@ from .pbc import displacement
 
 SOFTCORE_ALPHA = 0.5
 
+# Shared per-pair LJ energy clip — see ops/pallas/direct_force.py LJ_CLIP.
+LJ_CLIP = 1.0e7
+
 
 def lorentz_berthelot(sig_i, sig_j, eps_i, eps_j):
     return 0.5 * (sig_i + sig_j), jnp.sqrt(eps_i * eps_j)
@@ -90,7 +93,8 @@ def pair_lj_coulomb(
     """
     r2 = jnp.maximum(r2, 1e-4)
     r = jnp.sqrt(r2)
-    e_lj = lj_softcore_energy(r2, sigma, eps, couple) * lj_scale
+    e_lj = jnp.clip(lj_softcore_energy(r2, sigma, eps, couple),
+                    -LJ_CLIP, LJ_CLIP) * lj_scale
     e_c = coulomb_energy(r, qq, ewald_beta) * couple * coulomb_scale
     if cutoff is not None:
         in_range = r2 < cutoff * cutoff

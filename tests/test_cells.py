@@ -30,10 +30,11 @@ def _dense_reference(pos, q, sig, eps, box, cutoff, beta):
     d -= box * np.round(d / box)
     r2 = (d * d).sum(-1)
     np.fill_diagonal(r2, np.inf)
+    from molchanica_tpu.ops.nonbonded import LJ_CLIP
     s = 0.5 * (sig[:, None] + sig[None, :])
     e = np.sqrt(eps[:, None] * eps[None, :])
-    s6 = (s * s / r2) ** 3
-    elj = 4 * e * (s6 * s6 - s6)
+    s6 = (s * s / np.maximum(r2, 1e-4)) ** 3
+    elj = np.clip(4 * e * (s6 * s6 - s6), -LJ_CLIP, LJ_CLIP)
     r = np.sqrt(r2)
     ec = COULOMB_CONST * q[:, None] * q[None, :] * erfc(beta * r) / r
     m = r2 < cutoff * cutoff
