@@ -205,56 +205,53 @@ def parse_frcmod(text: str) -> ForceFieldParams:
 
 
 def parse_dat(text: str) -> ForceFieldParams:
-    """Parse a full parm*.dat main parameter file (sequential sections)."""
+    """Parse a full parm*.dat main parameter file (sequential sections,
+    tolerant of extra blank lines between sections)."""
     out = ForceFieldParams()
     lines = text.splitlines()
     out.title = lines[0].strip() if lines else ""
     i = 1
-    # MASS section until blank
-    while i < len(lines) and lines[i].strip():
-        _parse_mass_line(lines[i], out)
+    n = len(lines)
+
+    def skip_blanks(i):
+        while i < n and not lines[i].strip():
+            i += 1
+        return i
+
+    def section(i, handler):
+        i = skip_blanks(i)
+        while i < n and lines[i].strip():
+            handler(lines[i])
+            i += 1
+        return i
+
+    # MASS section
+    i = section(i, lambda l: _parse_mass_line(l, out))
+    # hydrophilic types line — single line, skip
+    i = skip_blanks(i)
+    if i < n:
         i += 1
-    i += 1
-    # hydrophilic types line(s) — one line, skip
-    if i < len(lines):
-        i += 1
-    # BOND until blank
-    while i < len(lines) and lines[i].strip():
-        _parse_bond_line(lines[i], out)
-        i += 1
-    i += 1
-    # ANGLE until blank
-    while i < len(lines) and lines[i].strip():
-        _parse_angle_line(lines[i], out)
-        i += 1
-    i += 1
-    # DIHEDRAL until blank
+    i = section(i, lambda l: _parse_bond_line(l, out))
+    i = section(i, lambda l: _parse_angle_line(l, out))
     pending: dict = {}
-    while i < len(lines) and lines[i].strip():
-        _parse_dihedral_line(lines[i], out, pending)
-        i += 1
-    i += 1
-    # IMPROPER until blank
-    while i < len(lines) and lines[i].strip():
-        _parse_improper_line(lines[i], out)
-        i += 1
-    i += 1
-    # 10-12 H-bond section until blank — skip
-    while i < len(lines) and lines[i].strip():
-        i += 1
-    i += 1
-    # vdW equivalences until blank: "TYPE  EQ1 EQ2 ..."
-    while i < len(lines) and lines[i].strip():
-        parts = lines[i].split()
+    i = section(i, lambda l: _parse_dihedral_line(l, out, pending))
+    i = section(i, lambda l: _parse_improper_line(l, out))
+    # 10-12 H-bond section — skip
+    i = section(i, lambda l: None)
+
+    # vdW equivalences: "TYPE  EQ1 EQ2 ..."
+    def eq_handler(l):
+        parts = l.split()
         if len(parts) >= 2:
             for eq in parts[1:]:
                 out.equivalences[eq] = parts[0]
-        i += 1
-    i += 1
+    i = section(i, eq_handler)
+
     # "MOD4      RE" header then LJ lines until blank/END
-    if i < len(lines) and "MOD4" in lines[i].upper():
+    i = skip_blanks(i)
+    if i < n and "MOD4" in lines[i].upper():
         i += 1
-    while i < len(lines):
+    while i < n:
         s = lines[i].strip()
         if not s or s.upper() == "END":
             break
