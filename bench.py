@@ -36,7 +36,7 @@ def main():
         coulomb_cutoff=9.0,
         hydrogen_constraint=HydrogenConstraint.shake(),
         dtype="float32",
-        max_init_relaxation_iters=300,
+        max_init_relaxation_iters=500,
         steps_per_chunk=100,
         seed=7,
     )
@@ -46,9 +46,12 @@ def main():
     setup_s = time.perf_counter() - t0
 
     dt_ps = 0.002
-    # warm-up: compile + brief equilibration
+    # warm-up: compile + staged force-capped equilibration (clashy synthetic
+    # starting structures need a gentle ramp before full 2 fs steps)
     t0 = time.perf_counter()
-    sim.step(dt_ps, 100)
+    sim.step(0.0005, 400, force_cap=1000.0)
+    sim.step(0.001, 400, force_cap=3000.0)
+    sim.step(dt_ps, 200)
     warm_s = time.perf_counter() - t0
 
     n_steps = 200 if quick else 1000

@@ -181,7 +181,15 @@ class MdConfig:
     ewald_rtol: float = 1e-5          # erfc(beta*rc) target at the cutoff
     pme_every: int = 1                # reciprocal-space evaluation interval
     cell_capacity_factor: float = 1.7 # padding headroom for cell binning
-    use_pallas: bool = True           # fused TPU kernel for direct space
+    # Fused TPU kernel for direct space. Currently opt-in: numerically
+    # validated (see tests/test_pallas_kernel.py and the cross-path TPU
+    # checks), but the axon remote AOT compiler intermittently miscompiles /
+    # faults on programs containing the custom call; the XLA shift-window
+    # path is the stable default until that is resolved.
+    use_pallas: bool = False
+    # "auto" (cluster pair lists when the box allows, else dense window) or
+    # "window" to force the dense shift-window backend
+    direct_backend: str = "auto"
     seed: int = 0
 
     def replace(self, **kw):

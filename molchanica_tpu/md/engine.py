@@ -94,20 +94,109 @@ class MdSim:
         cp, cv, self.n_constraints = make_constraint_fns(top, cfg, box)
         self._cp, self._cv = cp, cv
 
-        # --- energy / force programs ---
-        # Two direct-space backends: the fused Pallas force kernel (TPU,
-        # f32 — the production path) and the XLA shift-window (reference/
-        # fallback; CPU tests, f64 validation, small boxes).
-        self._use_pallas = (
-            self.method == "cells_pme" and cfg.use_pallas
-            and dtype == jnp.float32 and jax.default_backend() != "cpu")
+        self._box_np = box_np
+        self._build_force_paths(x0_np)
+
+        self._external_forces_fn = external_forces_fn
+
+        # --- state init ---
+        # NOTE: everything device-side is jitted — on remote-compile backends
+        # (axon tunnel) each eager op is an HTTP round-trip compile.
+        key = jax.random.PRNGKey(cfg.seed)
+        key, vkey = jax.random.split(key)
+        if velocities is None:
+            velocities = jax.jit(
+                lambda k: init_velocities(
+                    k, top.masses, top.dof_mask, cfg.temp_target, dtype)
+            )(vkey)
+        else:
+            velocities = jnp.asarray(velocities, dtype)
+        if cp is not None:
+            x0 = jax.jit(cp)(x0, x0)
+
+        self.state = MdState(
+            positions=x0,
+            velocities=velocities,
+            box=box,
+            step=jnp.asarray(0, jnp.int32),
+            rng_key=key,
+            couple=jnp.asarray(1.0, dtype),
+            pe_last=jnp.asarray(0.0, dtype),
+            ke_last=jnp.asarray(0.0, dtype),
+            dhdl_last=jnp.asarray(0.0, dtype),
+        )
+        self.snapshots: list = []
+        self._wall_time = 0.0
+
+        if relax is None:
+            relax = cfg.max_init_relaxation_iters is not None
+        if relax and cfg.max_init_relaxation_iters:
+            if self._hostloop_nbr:
+                from .minimize import fire_minimize_hostloop
+                x_min, _ = fire_minimize_hostloop(
+                    self.force_fn, self.state.positions, box,
+                    self.state.couple, top.dof_mask,
+                    n_steps=cfg.max_init_relaxation_iters,
+                    constrain_positions=cp)
+            else:
+                x_min, _ = jax.jit(
+                    lambda x: fire_minimize(
+                        self.force_fn, x, box, self.state.couple,
+                        top.dof_mask,
+                        n_steps=cfg.max_init_relaxation_iters,
+                        constrain_positions=cp)
+                )(self.state.positions)
+            from .energy import apply_virtual_sites
+            self.state = self.state.replace(
+                positions=apply_virtual_sites(x_min, top))
+            # re-plan cell capacity from the relaxed geometry: clash-inflated
+            # occupancies would otherwise lock in an oversized (cap^2-cost)
+            # window for the whole run
+            self.rebuild_neighbor_plan()
+
+    @property
+    def _use_pallas(self):
+        return self._nbr_backend == "pallas"
+
+    @property
+    def _hostloop_nbr(self):
+        # backends that carry an explicit (rebuild -> aux) neighbor state and
+        # therefore step via the per-step host loop
+        return self._nbr_backend in ("pallas", "clusters")
+
+    def rebuild_neighbor_plan(self):
+        """Re-plan cell geometry/capacity from CURRENT positions and rebuild
+        the force programs (use after large density changes or a cell-list
+        overflow error)."""
+        if self.method != "cells_pme":
+            return
+        jax.block_until_ready(self.state.positions)
+        self._build_force_paths(np.asarray(self.state.positions))
+        self._chunk_cache = {}
+
+    def _build_force_paths(self, x0_np):
+        top, cfg = self.top, self.cfg
+        n = top.n_atoms
+        box_np = self._box_np
+        dtype = jnp.dtype(cfg.dtype)
+        # Direct-space backends for cells_pme, by preference:
+        #   'pallas'   fused TPU kernel (opt-in via cfg.use_pallas)
+        #   'clusters' Morton-sorted cluster pair lists (default: pair count
+        #              tracks true neighbors, not max-cell-occupancy^2)
+        #   'window'   dense shift-window (validation / tiny systems)
+        self._nbr_backend = None
         direct_fn = recip_fn = None
         self._force_nbr = None
+        self._chunk_cache = {}
+        use_direct_force = self.method == "cells_pme"
+        cutoff = max(cfg.lj_cutoff, cfg.coulomb_cutoff)
         if self.method == "cells_pme":
             from ..ops.pme import ewald_beta_for, make_pme_recip_fn
 
             recip_fn = make_pme_recip_fn(top, cfg, box_np)
-            if self._use_pallas:
+            want_pallas = (cfg.use_pallas and dtype == jnp.float32
+                           and jax.default_backend() != "cpu")
+            if want_pallas:
                 from ..ops.pallas.direct_force import (
                     make_pallas_direct_fn,
                     make_rebuild_fn,
@@ -115,16 +204,33 @@ class MdSim:
                 )
                 try:
                     plan = plan_window(
-                        box_np, max(cfg.lj_cutoff, cfg.coulomb_cutoff),
-                        top.n_atoms_real, n, x0=x0_np,
+                        box_np, cutoff, top.n_atoms_real, n, x0=x0_np,
                         capacity_factor=cfg.cell_capacity_factor)
+                    self._plan = plan
+                    self._rebuild = make_rebuild_fn(plan, top.atom_mask)
+                    pdirect = make_pallas_direct_fn(top, cfg, plan)
+                    self._nbr_backend = "pallas"
                 except AssertionError:
-                    self._use_pallas = False
-            if self._use_pallas:
+                    pass
+            if self._nbr_backend is None and cfg.direct_backend != "window" \
+                    and (box_np >= 2.0 * cutoff).all():
+                from ..ops.clusters import (
+                    make_cluster_direct_force_fn,
+                    make_cluster_rebuild_fn,
+                    plan_clusters,
+                )
+                plan = plan_clusters(box_np, cutoff, top.n_atoms_real, n)
                 self._plan = plan
+                self._rebuild = make_cluster_rebuild_fn(plan, top)
+                pdirect = make_cluster_direct_force_fn(top, cfg, plan)
+                self._nbr_backend = "clusters"
+            if self._nbr_backend is None:
+                from ..ops.cells import make_xla_direct_force_fn
+                pdirect = make_xla_direct_force_fn(top, cfg, box_np,
+                                                   x0=x0_np)
+                self._nbr_backend = "window"
+            if use_direct_force:
                 beta = ewald_beta_for(cfg.coulomb_cutoff, cfg.ewald_rtol)
-                self._rebuild = make_rebuild_fn(plan, top.atom_mask)
-                pdirect = make_pallas_direct_fn(top, cfg, plan)
                 rest_e_fn = make_energy_fn(
                     top, cfg, "pme_rest", pme_recip_fn=recip_fn)
                 rest_fg = make_force_fn(rest_e_fn)
@@ -165,11 +271,15 @@ class MdSim:
                     return f1 + f2, (e_tot, terms)
 
                 self._force_nbr = force_nbr
-                rebuild = self._rebuild
+                if self._hostloop_nbr:
+                    rebuild = self._rebuild
 
-                def force_fn(x, box, couple):
-                    sa, inv, _ = rebuild(x, box)
-                    return force_nbr(x, box, couple, sa, inv)
+                    def force_fn(x, box, couple):
+                        sa, inv, _ = rebuild(x, box)
+                        return force_nbr(x, box, couple, sa, inv)
+                else:
+                    def force_fn(x, box, couple):
+                        return force_nbr(x, box, couple, None, None)
 
                 self.force_fn = force_fn
                 self.energy_fn = lambda x, box, couple: force_fn(
@@ -185,72 +295,13 @@ class MdSim:
                     def dhdl_fn(x, box, couple):
                         return jnp.zeros((), x.dtype)
                 self.dhdl_fn = dhdl_fn
-            else:
-                from ..ops.cells import make_cell_direct_space_fn
-
-                direct_fn = make_cell_direct_space_fn(
-                    top, cfg, box_np, x0=x0_np)
-        if not self._use_pallas:
+        if not use_direct_force:
             self.energy_fn = make_energy_fn(
                 top, cfg, self.method, pme_recip_fn=recip_fn,
                 direct_space_fn=direct_fn,
             )
             self.force_fn = make_force_fn(self.energy_fn)
             self.dhdl_fn = make_dhdl_fn(self.energy_fn)
-
-        self._external_forces_fn = external_forces_fn
-        self._chunk_cache = {}
-
-        # --- state init ---
-        # NOTE: everything device-side is jitted — on remote-compile backends
-        # (axon tunnel) each eager op is an HTTP round-trip compile.
-        key = jax.random.PRNGKey(cfg.seed)
-        key, vkey = jax.random.split(key)
-        if velocities is None:
-            velocities = jax.jit(
-                lambda k: init_velocities(
-                    k, top.masses, top.dof_mask, cfg.temp_target, dtype)
-            )(vkey)
-        else:
-            velocities = jnp.asarray(velocities, dtype)
-        if cp is not None:
-            x0 = jax.jit(cp)(x0, x0)
-
-        self.state = MdState(
-            positions=x0,
-            velocities=velocities,
-            box=box,
-            step=jnp.asarray(0, jnp.int32),
-            rng_key=key,
-            couple=jnp.asarray(1.0, dtype),
-            pe_last=jnp.asarray(0.0, dtype),
-            ke_last=jnp.asarray(0.0, dtype),
-            dhdl_last=jnp.asarray(0.0, dtype),
-        )
-        self.snapshots: list = []
-        self._wall_time = 0.0
-
-        if relax is None:
-            relax = cfg.max_init_relaxation_iters is not None
-        if relax and cfg.max_init_relaxation_iters:
-            if self._use_pallas:
-                from .minimize import fire_minimize_hostloop
-                x_min, _ = fire_minimize_hostloop(
-                    self.force_fn, self.state.positions, box,
-                    self.state.couple, top.dof_mask,
-                    n_steps=cfg.max_init_relaxation_iters,
-                    constrain_positions=cp)
-            else:
-                x_min, _ = jax.jit(
-                    lambda x: fire_minimize(
-                        self.force_fn, x, box, self.state.couple,
-                        top.dof_mask,
-                        n_steps=cfg.max_init_relaxation_iters,
-                        constrain_positions=cp)
-                )(self.state.positions)
-            from .energy import apply_virtual_sites
-            self.state = self.state.replace(
-                positions=apply_virtual_sites(x_min, top))
 
     # ------------------------------------------------------------------
     def configure_alchemical_window(self, lam: float):
@@ -380,7 +431,7 @@ class MdSim:
 
         # block structure: with the Pallas backend, cell binning is refreshed
         # every `neighbor_rebuild_every` steps; one chunk = n_blocks blocks.
-        if self._use_pallas:
+        if self._hostloop_nbr:
             k_steps = min(self.cfg.neighbor_rebuild_every, n_steps)
             n_blocks = max(n_steps // k_steps, 1)
             n_steps = n_blocks * k_steps
@@ -415,7 +466,7 @@ class MdSim:
 
         def chunk(state: MdState):
             couple = state.couple
-            if self._use_pallas:
+            if self._hostloop_nbr:
                 rebuild = self._rebuild
                 force_nbr = self._force_nbr
 
@@ -444,7 +495,7 @@ class MdSim:
             from .energy import apply_virtual_sites
             x = apply_virtual_sites(x, self.top)  # keep M-site rows live
             _, (e_final, terms) = self.force_fn(x, box, couple)
-            if self._use_pallas:
+            if self._hostloop_nbr:
                 terms = dict(terms, cell_overflow=max_ovf)
             ke = kinetic_energy(v, masses, dof_mask)
             dhdl = self.dhdl_fn(x, box, couple)
@@ -465,7 +516,7 @@ class MdSim:
         src/md/mod.rs:716 — dt in ps). `force_cap` clamps per-atom forces
         (kcal/mol/A) — equilibration aid."""
         t0 = time.perf_counter()
-        if self._use_pallas:
+        if self._hostloop_nbr:
             energies = self._step_pallas_hostloop(
                 dt_ps, n_steps, record_energy, force_cap)
             jax.block_until_ready(self.state.positions)

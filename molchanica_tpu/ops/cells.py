@@ -118,6 +118,119 @@ def bin_atoms(x, box, atom_mask, nc, capacity):
     return grid[:-1].reshape(n_cells, capacity), overflow
 
 
+def make_xla_direct_force_fn(top: Topology, cfg, box_extent, x0=None):
+    """XLA shift-window direct space with ANALYTIC forces.
+
+    Same interface as ops.pallas.direct_force.make_pallas_direct_fn's
+    direct(): (x, box, couple, beta, slot_atom, inv_slot) ->
+    (F [N,3], e_lj, e_c) — a drop-in backend for the engine's
+    pme_rest + direct-forces assembly. Uses the SAME per-pair arithmetic as
+    the Pallas kernel (A&S erfc, softcore form, LJ clip) so exclusion
+    subtraction in pme_rest cancels consistently. Forces are accumulated
+    center-side in the shift scan (no autodiff, no remat recompute).
+    """
+    import math as _math
+
+    from .pallas.direct_force import (
+        LJ_CLIP,
+        SOFTCORE_ALPHA as _SC,
+        WindowPlan,
+        erfc_approx,
+        make_rebuild_fn,
+        plan_window,
+    )
+    from ..constants import COULOMB_CONST
+
+    cutoff = max(cfg.lj_cutoff, cfg.coulomb_cutoff)
+    nc, cap, shifts_np = plan_cells(
+        box_extent, cutoff, top.n_atoms_real, cfg.cell_capacity_factor,
+        x0=x0)
+    ncx, ncy, ncz = nc
+    n_cells = ncx * ncy * ncz
+    shifts = jnp.asarray(shifts_np)
+    dtype = jnp.dtype(cfg.dtype)
+    rc2 = jnp.asarray(cutoff * cutoff, dtype)
+    n = top.n_atoms
+    charges = top.charges * top.atom_mask
+    two_over_sqrt_pi = 2.0 / math.sqrt(math.pi)
+
+    def direct(x, box, couple, beta, slot_atom=None, inv_slot=None):
+        del slot_atom, inv_slot   # self-binning backend
+        grid, overflow = bin_atoms(x, box, top.atom_mask, nc, cap)
+        valid = grid >= 0
+        gi = jnp.where(valid, grid, 0)
+        pos = x[gi]
+        q = jnp.where(valid, charges[gi], 0.0)
+        sg = jnp.where(valid, top.lj_sigma[gi], 1.0)
+        ep = jnp.where(valid, top.lj_eps[gi], 0.0)
+        cmg = jnp.where(valid, top.couple_mask[gi], 0.0)
+        vmask = valid.astype(dtype)
+
+        shape4 = (ncx, ncy, ncz, cap)
+        pos4 = pos.reshape(ncx, ncy, ncz, cap, 3)
+        q4 = q.reshape(shape4)
+        s4 = sg.reshape(shape4)
+        e4_ = ep.reshape(shape4)
+        c4 = cmg.reshape(shape4)
+        m4 = vmask.reshape(shape4)
+
+        def body(carry, shift):
+            acc_lj, acc_c, acc_f = carry
+            roll = lambda a: jnp.roll(a, (shift[0], shift[1], shift[2]),
+                                      axis=(0, 1, 2))
+            pos_n = roll(pos4)
+            dxv = minimum_image(
+                pos4[..., :, None, :] - pos_n[..., None, :, :], box)
+            r2 = jnp.sum(dxv * dxv, axis=-1)          # [nx,ny,nz,C,C]
+            ok = (m4[..., :, None] > 0) & (roll(m4)[..., None, :] > 0) \
+                & (r2 < rc2) & (r2 > 1e-9)
+            r2s = jnp.maximum(r2, 1e-4)
+            inv_r2 = 1.0 / r2s
+            sig = 0.5 * (s4[..., :, None] + roll(s4)[..., None, :])
+            eps4x = 4.0 * jnp.sqrt(e4_[..., :, None] * roll(e4_)[..., None, :])
+            ca = c4[..., :, None]
+            cb = roll(c4)[..., None, :]
+            is_alch = ca + cb - 2.0 * ca * cb
+            cpl = 1.0 - is_alch * (1.0 - couple)
+            a_sc = _SC * (1.0 - cpl)
+            s2 = sig * sig * inv_r2
+            s6 = s2 * s2 * s2
+            inv_den = 1.0 / (a_sc * s6 + 1.0)
+            lj_inv = s6 * inv_den
+            e_lj_raw = eps4x * cpl * (lj_inv * lj_inv - lj_inv)
+            e_lj = jnp.clip(e_lj_raw, -LJ_CLIP, LJ_CLIP)
+            dlj = eps4x * cpl * (2.0 * lj_inv - 1.0) * (inv_den * inv_den) \
+                * (-3.0 * s6 * inv_r2)
+            dlj = jnp.where(jnp.abs(e_lj_raw) < LJ_CLIP, dlj, 0.0)
+            r = jnp.sqrt(r2s)
+            inv_r = 1.0 / r
+            erfc_v, expv = erfc_approx(beta * r)
+            kqq = COULOMB_CONST * q4[..., :, None] * roll(q4)[..., None, :] \
+                * cpl
+            e_c = kqq * erfc_v * inv_r
+            dc = -0.5 * kqq * inv_r2 * (
+                erfc_v * inv_r + two_over_sqrt_pi * beta * expv)
+            coeff = jnp.where(ok, dlj + dc, 0.0)
+            acc_lj += jnp.sum(jnp.where(ok, e_lj, 0.0))
+            acc_c += jnp.sum(jnp.where(ok, e_c, 0.0))
+            # center-side force: F_i = -2 sum_j coeff * d_ij
+            acc_f -= 2.0 * jnp.sum(coeff[..., None] * dxv, axis=-2)
+            return (acc_lj, acc_c, acc_f), None
+
+        zero_f = jnp.zeros((ncx, ncy, ncz, cap, 3), dtype)
+        (e_lj, e_c, f4), _ = jax.lax.scan(
+            body, (jnp.zeros((), dtype), jnp.zeros((), dtype), zero_f),
+            shifts)
+        # scatter forces back to atom order: each real atom occupies exactly
+        # one slot; padding slots point at atom 0 but carry zero force mask
+        f_flat = (f4.reshape(-1, 3) * vmask.reshape(-1)[:, None])
+        f_atoms = jnp.zeros((n, 3), dtype).at[gi.reshape(-1)].add(f_flat)
+        f_atoms = f_atoms * top.atom_mask[:, None]
+        return f_atoms, 0.5 * e_lj, 0.5 * e_c
+
+    return direct
+
+
 def make_cell_direct_space_fn(top: Topology, cfg, box_extent, x0=None):
     """Build direct(x, box, couple, ewald_beta) -> (E_lj, E_coul, overflow).
 

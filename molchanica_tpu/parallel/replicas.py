@@ -66,7 +66,7 @@ class ReplicaFarm:
             return self._step_cache[dt]
         sim = self.sim
 
-        if sim._use_pallas:
+        if sim._hostloop_nbr:
             rebuild = sim._rebuild
             force_nbr = sim._force_nbr
 

@@ -103,10 +103,15 @@ def _self_avoiding_walk(n_steps, step, box_half, min_sep, rng):
 
 def build_polyalanine(n_residues: int, compact_half_width: float = None,
                       seed: int = 0) -> MolSpec:
-    """Connected poly-ALA chain on a compact self-avoiding CA trace."""
+    """Connected poly-ALA chain on a compact self-avoiding CA trace.
+
+    Half-width targets realistic protein density (~0.12 atoms/A^3, i.e.
+    ~85 A^3 per 10-atom residue) — denser walks produce unphysical cores
+    that also poison the cell-list capacity planning."""
     rng = np.random.default_rng(seed)
-    half = compact_half_width or max(10.0, 2.2 * (n_residues * 120.0) ** (1/3))
-    ca = _self_avoiding_walk(n_residues, 3.8, half, 4.4, rng)
+    half = compact_half_width or max(
+        10.0, 0.62 * (n_residues * 85.0) ** (1 / 3) + 3.0)
+    ca = _self_avoiding_walk(n_residues, 3.8, half, 5.3, rng)
 
     names = [a[0] for a in _ALA_ATOMS]
     idx_of = {n: i for i, n in enumerate(names)}
@@ -202,11 +207,9 @@ def build_solvated_protein(n_residues: int = 250, box_side: float = None,
         prot_vol = prot.n_atoms * 18.0          # ~A^3 heuristic
         vol = n_w / WATER_NUMBER_DENSITY + prot_vol
         box_side = vol ** (1.0 / 3.0)
-        # snap UP to a multiple of ~9.35 A so the Pallas cell plan (cell
-        # side in [cutoff, ~9.7]) is admissible at the standard 9 A cutoff;
-        # water then fills at natural density (slightly fewer sites than
-        # target rather than an over-dense box)
-        box_side = max(3, math.ceil(box_side / 9.35)) * 9.35
+        # (the cluster backend has no box-granularity constraint; snap to a
+        # multiple of ~9.35 A only if you want the Pallas window plan to be
+        # admissible at a 9 A cutoff)
     box = np.array([box_side] * 3)
     prot = prot.translated(box / 2.0 - prot.positions.mean(axis=0))
     asys = assemble_system(
