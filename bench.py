@@ -16,6 +16,9 @@ def main():
     import jax
     import numpy as np
 
+    def phase(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     from molchanica_tpu.md.config import HydrogenConstraint, Integrator, MdConfig
     from molchanica_tpu.md.engine import MdSim
     from molchanica_tpu.systems.bench_systems import build_solvated_protein
@@ -24,10 +27,12 @@ def main():
     n_res = 60 if quick else 250
     target = 6000 if quick else 25000
 
+    phase("building system")
     t0 = time.perf_counter()
     asys = build_solvated_protein(n_residues=n_res, target_sites=target,
                                   seed=3)
     build_s = time.perf_counter() - t0
+    phase(f"built {asys.topology.n_atoms_real} sites; MdSim init + relax")
 
     cfg = MdConfig(
         integrator=Integrator.langevin_middle(gamma=1.0),
@@ -44,15 +49,19 @@ def main():
     sim = MdSim(asys.topology, cfg, asys.positions,
                 box_extent=asys.box_extent, method="cells_pme")
     setup_s = time.perf_counter() - t0
+    phase(f"setup {setup_s:.0f}s (backend={sim._nbr_backend}); warmup")
 
     dt_ps = 0.002
     # warm-up: compile + staged force-capped equilibration (clashy synthetic
     # starting structures need a gentle ramp before full 2 fs steps)
     t0 = time.perf_counter()
     sim.step(0.0005, 400, force_cap=1000.0)
+    phase("warmup stage 1 done")
     sim.step(0.001, 400, force_cap=3000.0)
+    phase("warmup stage 2 done")
     sim.step(dt_ps, 200)
     warm_s = time.perf_counter() - t0
+    phase(f"warmup {warm_s:.0f}s; timing {200 if quick else 1000} steps")
 
     n_steps = 200 if quick else 1000
     t0 = time.perf_counter()

@@ -190,6 +190,9 @@ class MdConfig:
     # "auto" (cluster pair lists when the box allows, else dense window) or
     # "window" to force the dense shift-window backend
     direct_backend: str = "auto"
+    # scan-compiled step chunks (one dispatch per chunk — required through
+    # high-latency device relays); False = one jitted program per step
+    use_scan_chunks: bool = True
     seed: int = 0
 
     def replace(self, **kw):

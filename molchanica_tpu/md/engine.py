@@ -219,7 +219,8 @@ class MdSim:
                     make_cluster_rebuild_fn,
                     plan_clusters,
                 )
-                plan = plan_clusters(box_np, cutoff, top.n_atoms_real, n)
+                plan = plan_clusters(box_np, cutoff, top.n_atoms_real, n,
+                                     m_scale=getattr(self, "_m_scale", 1.0))
                 self._plan = plan
                 self._rebuild = make_cluster_rebuild_fn(plan, top)
                 pdirect = make_cluster_direct_force_fn(top, cfg, plan)
@@ -516,15 +517,43 @@ class MdSim:
         src/md/mod.rs:716 — dt in ps). `force_cap` clamps per-atom forces
         (kcal/mol/A) — equilibration aid."""
         t0 = time.perf_counter()
-        if self._hostloop_nbr:
-            energies = self._step_pallas_hostloop(
-                dt_ps, n_steps, record_energy, force_cap)
+        if self._hostloop_nbr and not self.cfg.use_scan_chunks:
+            for attempt in range(3):
+                saved = self.state
+                try:
+                    energies = self._step_pallas_hostloop(
+                        dt_ps, n_steps, record_energy, force_cap)
+                    break
+                except RuntimeError as e:
+                    if "overflow" not in str(e) or attempt == 2:
+                        raise
+                    # neighbor-list width too small for the current density:
+                    # grow, replan from the saved state, retry the chunk
+                    self.state = saved
+                    self._m_scale = getattr(self, "_m_scale", 1.0) * 1.5
+                    self.rebuild_neighbor_plan()
             jax.block_until_ready(self.state.positions)
             self._wall_time += time.perf_counter() - t0
             return energies
-        fn = self._get_chunk_fn(n_steps, float(dt_ps), record_energy,
-                                force_cap)
-        self.state, terms, energies = fn(self.state)
+        for attempt in range(3):
+            saved = self.state
+            fn = self._get_chunk_fn(n_steps, float(dt_ps), record_energy,
+                                    force_cap)
+            self.state, terms, energies = fn(self.state)
+            if self._hostloop_nbr:
+                ovf = int(terms.get("cell_overflow", 0))
+                if ovf > 0 and attempt < 2:
+                    # neighbor-list width too small: grow, replan from the
+                    # saved state, retry the chunk
+                    self.state = saved
+                    self._m_scale = getattr(self, "_m_scale", 1.0) * 1.5
+                    self.rebuild_neighbor_plan()
+                    continue
+                if ovf > 0:
+                    raise RuntimeError(
+                        f"neighbor-list overflow ({ovf}) persisted after "
+                        "replans")
+            break
         jax.block_until_ready(self.state.positions)
         self._wall_time += time.perf_counter() - t0
         self._last_terms = terms
@@ -546,7 +575,7 @@ class MdSim:
             todo = min(chunk, n_steps - done)
             self.step(dt_ps, todo)
             done += todo
-            if collect and (int(self.state.step) % snapshot_interval == 0):
+            if collect and done % snapshot_interval == 0:
                 self._record_snapshot(dt_ps)
         return self.snapshots
 

@@ -40,7 +40,7 @@ class ClusterPlan:
 
 def plan_clusters(box_extent, cutoff: float, n_atoms_real: int,
                   n_atoms_pad: int, skin: float = 0.6,
-                  density: float = None) -> ClusterPlan:
+                  density: float = None, m_scale: float = 1.0) -> ClusterPlan:
     box = np.asarray(box_extent, np.float64)
     rho = density or max(n_atoms_real / float(np.prod(box)), 0.02)
     # exact-list width: atoms within rc + skin + cluster-extent slop.
@@ -49,7 +49,7 @@ def plan_clusters(box_extent, cutoff: float, n_atoms_real: int,
     r_cl = 0.7 * (CL / rho) ** (1.0 / 3.0)
     r_eff = cutoff + skin + 2.0 * r_cl
     per_atom = 4.0 / 3.0 * math.pi * r_eff ** 3 * rho
-    m = int(math.ceil(per_atom / CL * 1.3 / 16.0)) * 16
+    m = int(math.ceil(per_atom / CL * 1.3 * m_scale / 16.0)) * 16
     m = max(m, 32)
     nc_fine = tuple(int(v) for v in np.maximum((box / 2.8).astype(int), 1))
     return ClusterPlan(
