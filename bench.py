@@ -93,4 +93,26 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon TPU relay intermittently crashes the worker; a fresh process
+    # recovers. Retry up to 3 times before giving up.
+    import os
+    import subprocess
+
+    if os.environ.get("MOLCHANICA_BENCH_CHILD") == "1":
+        main()
+    else:
+        env = dict(os.environ, MOLCHANICA_BENCH_CHILD="1")
+        last = None
+        for attempt in range(3):
+            r = subprocess.run([sys.executable, __file__] + sys.argv[1:],
+                               env=env, capture_output=True, text=True)
+            out = r.stdout.strip().splitlines()
+            if r.returncode == 0 and out and out[-1].startswith("{"):
+                print(out[-1])
+                break
+            last = (r.returncode, r.stderr[-2000:] if r.stderr else "")
+            print(f"[bench] attempt {attempt + 1} failed "
+                  f"(rc={r.returncode}); retrying", file=sys.stderr)
+        else:
+            print(f"[bench] all attempts failed: {last}", file=sys.stderr)
+            sys.exit(1)

@@ -131,21 +131,8 @@ class MdSim:
         if relax is None:
             relax = cfg.max_init_relaxation_iters is not None
         if relax and cfg.max_init_relaxation_iters:
-            if self._hostloop_nbr:
-                from .minimize import fire_minimize_hostloop
-                x_min, _ = fire_minimize_hostloop(
-                    self.force_fn, self.state.positions, box,
-                    self.state.couple, top.dof_mask,
-                    n_steps=cfg.max_init_relaxation_iters,
-                    constrain_positions=cp)
-            else:
-                x_min, _ = jax.jit(
-                    lambda x: fire_minimize(
-                        self.force_fn, x, box, self.state.couple,
-                        top.dof_mask,
-                        n_steps=cfg.max_init_relaxation_iters,
-                        constrain_positions=cp)
-                )(self.state.positions)
+            x_min = self._relax_positions(box, cp,
+                                          cfg.max_init_relaxation_iters)
             from .energy import apply_virtual_sites
             self.state = self.state.replace(
                 positions=apply_virtual_sites(x_min, top))
@@ -153,6 +140,43 @@ class MdSim:
             # occupancies would otherwise lock in an oversized (cap^2-cost)
             # window for the whole run
             self.rebuild_neighbor_plan()
+
+    def _relax_positions(self, box, cp, n_iters):
+        """FIRE relaxation. Prefers a jitted fori block (one dispatch per
+        100 iterations); self-checks the first block's energy against the
+        start — the remote AOT compiler has been seen to miscompile loop
+        programs — and falls back to the host-loop variant if suspect."""
+        from .minimize import fire_minimize, fire_minimize_hostloop
+
+        x = self.state.positions
+        couple = self.state.couple
+        force_jit = jax.jit(self.force_fn)
+        try:
+            e0 = float(force_jit(x, box, couple)[1][0])
+        except Exception:
+            e0 = float("inf")
+        block = min(n_iters, 100)
+        n_blocks = max(1, -(-n_iters // block))
+        fire_block = jax.jit(lambda xx: fire_minimize(
+            self.force_fn, xx, box, couple, self.top.dof_mask,
+            n_steps=block, constrain_positions=cp))
+        ok = False
+        try:
+            x1, e1 = fire_block(x)
+            e1 = float(e1)
+            ok = np.isfinite(e1) and e1 <= e0 + max(abs(e0) * 0.01, 10.0)
+        except Exception:
+            ok = False
+        if ok:
+            x = x1
+            for _ in range(n_blocks - 1):
+                x, _ = fire_block(x)
+            jax.block_until_ready(x)
+            return x
+        x_min, _ = fire_minimize_hostloop(
+            self.force_fn, self.state.positions, box, couple,
+            self.top.dof_mask, n_steps=n_iters, constrain_positions=cp)
+        return x_min
 
     @property
     def _use_pallas(self):
