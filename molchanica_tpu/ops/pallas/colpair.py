@@ -1,0 +1,535 @@
+"""Column-pair direct-space force kernel — the TPU performance core (v2).
+
+TPU-native replacement for the reference's CUDA pair kernels
+(/root/reference/src/cuda/util.cu lj_force_v2/coulomb_force), designed from
+measured v5e characteristics rather than translated:
+
+- XLA gathers (~2.4 ns/row) and scatters are two orders of magnitude too slow
+  for per-step neighbor gathering, so the state lives SORTED by (xy-column,
+  z): atoms binned into xy columns of width >= 2/3*(rc+skin) and z-ordered
+  within each column. Every j-neighborhood is then a set of <= 9 contiguous
+  index ranges (the 3x3 column window, z-cropped), read in the kernel as
+  128-lane-aligned dynamic slices of a property-major [8, N] array. NO
+  gather, NO scatter, NO ghost copies: periodic shifts are per-window-entry
+  (+-L per axis) applied to the j-tile in registers.
+- One grid program = one i-cluster of 16 sorted atoms (2 f32 vregs). The
+  window entry list (built at rebuild time in XLA, reused for K steps with a
+  skin) streams through SMEM; each entry is one [16, 128] pair tile: i-atoms
+  on sublanes (broadcast [16,1]), j-atoms on lanes ([1,128] slices).
+- Forces accumulate center-side only (both directions are separate tiles),
+  energies are half-summed. Per-pair math avoids VPU division entirely
+  (measured 26x an fma): rsqrt + a Chebyshev fit of erfc(x)*exp(x^2)
+  (coefficients solved at build time, |rel err| < 1e-6 over the window).
+- Per-column padding to multiples of 16 keeps clusters column-pure, so each
+  cluster's window is exactly its column's 3x3 neighborhood.
+
+The exclusion / 1-4 subtraction path (`pairlist_colpair_energy`) uses
+bit-identical arithmetic so the window-minus-subtraction decomposition stays
+consistent to float32 roundoff.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants import COULOMB_CONST
+
+ICL = 16          # atoms per i-cluster (one grid program)
+ZBITS = 14        # z quantization bits in the sort key
+W_MAX = 48        # max window entries per cluster
+_TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
+
+# r^2 floor (A^2): pairs closer than this (only possible mid-clash during
+# equilibration, or excluded intramolecular pairs) are evaluated at the
+# clamped distance. The subtraction path applies the SAME clamp.
+R2_MIN = 0.25
+
+
+def erfcx_cheb_coeffs(xmax: float, deg: int = 12) -> np.ndarray:
+    """Fit g(x) = erfc(x) * exp(x^2) on [0, xmax] as a plain polynomial
+    (Chebyshev-node least squares). Horner-evaluated in the kernel.
+    abs err < ~1e-7 for deg 12, xmax ~ 3.5."""
+    from numpy.polynomial import chebyshev as C
+    from scipy.special import erfc
+    nodes = np.cos(np.pi * (np.arange(1024) + 0.5) / 1024)
+    x = 0.5 * (nodes + 1.0) * xmax
+    g = erfc(x) * np.exp(x * x)
+    cheb = C.Chebyshev.fit(x, g, deg, domain=[0.0, xmax], w=1.0 / g)
+    poly = cheb.convert(kind=np.polynomial.Polynomial)
+    c = np.asarray(poly.coef, np.float64)
+    fit = np.polynomial.polynomial.polyval(x, c)
+    err = np.abs(fit - g) / np.abs(g)
+    assert err.max() < 5e-6, f"erfcx fit rel err {err.max():.2e}"
+    return c
+
+
+@dataclass(frozen=True)
+class ColPlan:
+    """Static geometry for the column sort + window kernel."""
+    nx: int
+    ny: int
+    wx: float                 # column width (A), from the PLAN-time box
+    wy: float
+    lz: float
+    n_sorted: int             # padded sorted-slot count (multiple of 128)
+    n_base: int               # base (original-order) atom count incl. padding
+    cutoff: float             # force cutoff rc (A)
+    skin: float
+    beta: float               # Ewald splitting parameter
+    erfcx_coeffs: Tuple[float, ...]
+
+    @property
+    def n_cols(self) -> int:
+        return self.nx * self.ny
+
+    @property
+    def n_clusters(self) -> int:
+        return self.n_sorted // ICL
+
+    @property
+    def rc_w(self) -> float:
+        return self.cutoff + self.skin
+
+
+def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
+                 n_base: int, skin: float = 0.7) -> ColPlan:
+    """Choose the column grid. Width >= rc+skin: an atom at a column edge
+    reaches rcw into the adjacent column, so the 3x3 window covers the
+    cutoff sphere only if each column is at least rcw wide."""
+    box = np.asarray(box_extent, np.float64)
+    rcw = cutoff + skin
+    wmin = rcw
+    nx = max(int(box[0] / wmin), 1)
+    ny = max(int(box[1] / wmin), 1)
+    assert nx >= 3 and ny >= 3 and box[2] >= 2 * rcw - 1e-9, \
+        f"box {box} too small for colpair at cutoff {cutoff}"
+    n_cols = nx * ny
+    # capacity: real atoms + per-column pad-to-16 + headroom for density
+    # fluctuation between replans
+    cap = n_atoms_real + 16 * n_cols + max(16 * n_cols, n_atoms_real // 8)
+    n_sorted = ((cap + 127) // 128) * 128
+    # r2 is clamped to [R2_MIN, rc^2] before the erfc evaluation (out-of-range
+    # pairs are masked afterwards), so the fit domain is exactly [0, beta*rc].
+    xmax = float(beta) * cutoff + 1e-3
+    coeffs = tuple(float(v) for v in erfcx_cheb_coeffs(xmax))
+    return ColPlan(nx=nx, ny=ny, wx=float(box[0] / nx),
+                   wy=float(box[1] / ny), lz=float(box[2]),
+                   n_sorted=n_sorted, n_base=n_base,
+                   cutoff=float(cutoff), skin=float(skin), beta=float(beta),
+                   erfcx_coeffs=coeffs)
+
+
+# ---------------------------------------------------------------------------
+# Rebuild: sort into padded column runs + build the window entry table.
+# All-XLA, jitted by the caller; runs every `neighbor_rebuild_every` steps.
+# ---------------------------------------------------------------------------
+
+def make_sort_fn(plan: ColPlan):
+    """sort(x_base_order, atom_mask) -> (perm [S] int32 (base ids; n_base =
+    dummy), keys [S] int32, col_start [n_cols+1], overflow int32).
+
+    perm[s] = base-order atom id occupying sorted slot s; dummy slots point
+    at row n_base (callers must append a far-away dummy row when gathering).
+    """
+    nx, ny = plan.nx, plan.ny
+    S = plan.n_sorted
+    n_base = plan.n_base
+    n_cols = plan.n_cols
+    zmax = (1 << ZBITS) - 1
+
+    def sort(x, box, atom_mask):
+        u = x / box
+        u = u - jnp.floor(u)
+        cx = jnp.minimum((u[:, 0] * nx).astype(jnp.int32), nx - 1)
+        cy = jnp.minimum((u[:, 1] * ny).astype(jnp.int32), ny - 1)
+        zb = jnp.minimum((u[:, 2] * (zmax + 1)).astype(jnp.int32), zmax)
+        col = cx * ny + cy
+        real = atom_mask > 0
+        col = jnp.where(real, col, n_cols)          # pads sort to the end
+        key = (col << ZBITS) | jnp.where(real, zb, 0)
+        order = jnp.argsort(key).astype(jnp.int32)  # [n_base]
+        col_sorted = col[order]
+        n_real = jnp.sum(real.astype(jnp.int32))
+        # per-column ranges among the real prefix
+        col_start_real = jnp.searchsorted(
+            col_sorted, jnp.arange(n_cols + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        cnt = col_start_real[1:] - col_start_real[:-1]
+        pcnt = ((cnt + ICL - 1) // ICL) * ICL
+        col_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcnt).astype(jnp.int32)])
+        overflow = jnp.maximum(col_start[-1] - S, 0)
+        # slot of sorted-real rank r: col_start[c] + (r - col_start_real[c])
+        r = jnp.arange(n_base, dtype=jnp.int32)
+        c_of = jnp.clip(col_sorted, 0, n_cols - 1)
+        slot = col_start[c_of] + (r - col_start_real[c_of])
+        valid = (r < n_real)
+        slot = jnp.where(valid, jnp.clip(slot, 0, S - 1), S)  # pads -> sink
+        perm = jnp.full((S + 1,), n_base, jnp.int32)
+        perm = perm.at[slot].set(jnp.where(valid, order, n_base))
+        perm = perm[:S]
+        # sorted keys incl. pad slots (pad key = column end sentinel)
+        slot_col = jnp.searchsorted(
+            col_start[1:], jnp.arange(S, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        key_sorted = jnp.full((S + 1,), (n_cols << ZBITS), jnp.int32)
+        key_sorted = key_sorted.at[slot].set(
+            jnp.where(valid, key[order], (n_cols << ZBITS)))
+        key_sorted = key_sorted[:S]
+        pad_key = (jnp.minimum(slot_col, n_cols - 1) << ZBITS) | zmax
+        key_sorted = jnp.where(perm == n_base, pad_key, key_sorted)
+        return perm, key_sorted, col_start, overflow.astype(jnp.int32)
+
+    return sort
+
+
+def make_window_fn(plan: ColPlan):
+    """windows(x_sorted, keys_sorted, box, atom_mask_sorted)
+    -> (wl [NC, W_MAX] int32, nw [NC] int32, overflow int32).
+
+    Entry packing (31 bits): sid[11] | code[5] | lo[7] | hi[8], where
+    sid = slice_start/128, code in 0..26 encodes the periodic shift
+    ((sx+1)*9 + (sy+1)*3 + (sz+1); j positions get + shift * box), and
+    [lo, hi) are exact lane bounds within the slice — aligned slices may
+    otherwise spill into the next column's run and double-count pairs.
+    """
+    nx, ny = plan.nx, plan.ny
+    NC = plan.n_clusters
+    S = plan.n_sorted
+    rcw = plan.rc_w
+    zmax = (1 << ZBITS) - 1
+
+    dxdy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def windows(xs, keys, box, mask_s):
+        lz = box[2]
+        wx = box[0] / nx
+        wy = box[1] / ny
+        xc = xs.reshape(NC, ICL, 3)
+        mc = mask_s.reshape(NC, ICL) > 0
+        any_valid = mc.any(axis=1)
+        big = jnp.asarray(1e30, xs.dtype)
+        # cluster bounding box (rebuild-time positions; rcw = rc + skin
+        # absorbs drift until the next rebuild)
+        xlo_c = jnp.min(jnp.where(mc, xc[:, :, 0], big), axis=1)
+        xhi_c = jnp.max(jnp.where(mc, xc[:, :, 0], -big), axis=1)
+        ylo_c = jnp.min(jnp.where(mc, xc[:, :, 1], big), axis=1)
+        yhi_c = jnp.max(jnp.where(mc, xc[:, :, 1], -big), axis=1)
+        zmin_c = jnp.min(jnp.where(mc, xc[:, :, 2], big), axis=1)
+        zmax_c = jnp.max(jnp.where(mc, xc[:, :, 2], -big), axis=1)
+        # cluster column from any valid member's key
+        key_c = keys.reshape(NC, ICL)
+        col_c = (key_c[:, 0] >> ZBITS)          # pads share the column key
+        col_c = jnp.clip(col_c, 0, nx * ny - 1)
+        cx = col_c // ny
+        cy = col_c - cx * ny
+
+        def zq(z):
+            u = z / lz
+            return jnp.clip((u * (zmax + 1)).astype(jnp.int32), 0, zmax)
+
+        entries = []
+        valids = []
+        slice_ovf = []
+        for dx, dy in dxdy:
+            jx = cx + dx
+            jy = cy + dy
+            # a wrapped low-index window column holds high-coordinate atoms:
+            # they must appear shifted by -L next to the center cluster
+            sx = jnp.where(jx < 0, -1, 0) + jnp.where(jx >= nx, 1, 0)
+            sy = jnp.where(jy < 0, -1, 0) + jnp.where(jy >= ny, 1, 0)
+            jxw = jnp.where(jx < 0, jx + nx, jnp.where(jx >= nx, jx - nx, jx))
+            jyw = jnp.where(jy < 0, jy + ny, jnp.where(jy >= ny, jy - ny, jy))
+            jcol = jxw * ny + jyw
+            # xy distance from the cluster bbox to the (unwrapped) column
+            # rectangle tightens the z-reach: zr = sqrt(rcw^2 - d_xy^2)
+            jxlo = jx.astype(xs.dtype) * wx
+            jxhi = jxlo + wx
+            jylo = jy.astype(xs.dtype) * wy
+            jyhi = jylo + wy
+            dxm = jnp.maximum(jnp.maximum(jxlo - xhi_c, xlo_c - jxhi), 0.0)
+            dym = jnp.maximum(jnp.maximum(jylo - yhi_c, ylo_c - jyhi), 0.0)
+            d2 = dxm * dxm + dym * dym
+            zr2 = rcw * rcw - d2
+            in_reach = zr2 > 0.0
+            zr = jnp.sqrt(jnp.maximum(zr2, 0.0))
+            zlo_c = zmin_c - zr
+            zhi_c = zmax_c + zr
+            # up to two z-ranges: main [zlo, zhi] clipped, and a wrap range
+            for wrap in (0, 1, 2):   # 0 = main, 1 = low wrap, 2 = high wrap
+                if wrap == 0:
+                    zl = jnp.maximum(zlo_c, 0.0)
+                    zh = jnp.minimum(zhi_c, lz)
+                    sz = jnp.zeros_like(sx)
+                    ok = (zh > zl) & any_valid & in_reach
+                elif wrap == 1:      # zlo < 0: top of the column, shift -Lz
+                    zl = zlo_c + lz
+                    zh = jnp.full_like(zlo_c, lz)
+                    sz = jnp.full_like(sx, -1)
+                    ok = (zlo_c < 0.0) & any_valid & in_reach
+                else:                # zhi > Lz: bottom of the column, +Lz
+                    zl = jnp.zeros_like(zhi_c)
+                    zh = zhi_c - lz
+                    sz = jnp.full_like(sx, 1)
+                    ok = (zhi_c > lz) & any_valid & in_reach
+                klo = (jcol << ZBITS) | zq(zl)
+                khi = (jcol << ZBITS) | zq(zh)
+                lo = jnp.searchsorted(keys, klo, side="left").astype(jnp.int32)
+                hi = jnp.searchsorted(keys, khi, side="right").astype(jnp.int32)
+                s0 = lo // 128
+                s1 = (hi + 127) // 128
+                n_sl = jnp.where(ok & (hi > lo), s1 - s0, 0)
+                slice_ovf.append(jnp.max(jnp.maximum(n_sl - 4, 0)))
+                code = (sx + 1) * 9 + (sy + 1) * 3 + (sz + 1)
+                for s in range(4):
+                    sid = s0 + s
+                    lo_lane = jnp.clip(lo - sid * 128, 0, 128)
+                    hi_lane = jnp.clip(hi - sid * 128, 0, 128)
+                    packed = (((sid << 5) | code) << 15) \
+                        | (lo_lane << 8) | hi_lane
+                    good = (s < n_sl) & (hi_lane > lo_lane)
+                    entries.append(jnp.where(good, packed, 0))
+                    valids.append(good)
+        ent = jnp.stack(entries, axis=1)      # [NC, 9*3*4]
+        val = jnp.stack(valids, axis=1)
+        nw = jnp.sum(val, axis=1).astype(jnp.int32)
+        overflow = jnp.maximum(jnp.max(nw) - W_MAX, 0) \
+            + jnp.max(jnp.stack(slice_ovf))
+        # compact valid entries to the front (stable sort by ~valid)
+        sort_key = jnp.where(val, 0, 1).astype(jnp.int32) * 4096 \
+            + jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
+        take = jnp.argsort(sort_key, axis=1)[:, :W_MAX]
+        wl = jnp.take_along_axis(ent, take, axis=1)
+        nw = jnp.minimum(nw, W_MAX)
+        return wl, nw, overflow.astype(jnp.int32)
+
+    return windows
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+
+def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
+               rc2, beta, coeffs, want_energy, alch=None):
+    """[ICL, 128] pair math. Returns (coeff = dV/dr2 masked, e_lj, e_c,
+    dx, dy, dz)."""
+    dx = xi - jx
+    dy = yi - jy
+    dz = zi - jz
+    r2 = dx * dx + dy * dy + dz * dz
+    valid = (r2 < rc2) & (r2 > 1e-9)
+    r2s = jnp.clip(r2, R2_MIN, rc2)
+    inv_r = jax.lax.rsqrt(r2s)
+    inv_r2 = inv_r * inv_r
+
+    sig = shi + jsh                       # sigma_ij (inputs are sigma/2)
+    eps4 = sei * jse                      # 4 eps_ij  (inputs are 2 sqrt(eps))
+    if alch is not None:
+        cpl = alch
+        eps4 = eps4 * cpl
+    s2 = (sig * sig) * inv_r2
+    s6 = s2 * s2 * s2
+    s12 = s6 * s6
+    e_lj = eps4 * (s12 - s6)
+    dlj = eps4 * (6.0 * s6 - 12.0 * s12) * inv_r2
+
+    kqq = qi * jq                         # inputs are q * sqrt(k_C)
+    if alch is not None:
+        kqq = kqq * cpl
+    x = beta * (r2s * inv_r)
+    ex = jnp.exp(-x * x)
+    g = coeffs[-1]
+    for c in coeffs[-2::-1]:
+        g = g * x + c
+    erfc_v = g * ex
+    e_c = kqq * erfc_v * inv_r
+    dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
+                          + (0.5 * _TWO_OVER_SQRT_PI * beta) * ex)
+    coeff = jnp.where(valid, dlj + dc, 0.0)
+    if want_energy:
+        zero = jnp.zeros_like(e_lj)
+        return coeff, jnp.where(valid, e_lj, zero), \
+            jnp.where(valid, e_c, zero), dx, dy, dz
+    return coeff, None, None, dx, dy, dz
+
+
+def _kernel(nw_ref, wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
+            rc2, beta, coeffs, want_energy, n_lanes, has_alch):
+    c = pl.program_id(0)
+    irow = rows_ref[pl.ds(c * ICL, ICL), :]       # [ICL, 8]
+    xi = irow[:, 0:1]
+    yi = irow[:, 1:2]
+    zi = irow[:, 2:3]
+    qi = irow[:, 3:4]
+    shi = irow[:, 4:5]
+    sei = irow[:, 5:6]
+    cmi = irow[:, 6:7] if has_alch else None
+
+    lx = box_ref[0, 0]
+    ly = box_ref[0, 1]
+    lz = box_ref[0, 2]
+    couple = box_ref[0, 3]
+
+    nw = nw_ref[0, 0]
+    zero = jnp.zeros((ICL, n_lanes), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1)
+
+    def body(w, carry):
+        fx, fy, fz, elj, ec = carry
+        entry = wl_ref[0, w]
+        hi_lane = entry & 255
+        lo_lane = (entry >> 8) & 127
+        code = (entry >> 15) & 31
+        sid = entry >> 20
+        start = pl.multiple_of(sid * 128, 128)
+        sx = (code // 9 - 1).astype(jnp.float32) * lx
+        syc = code - (code // 9) * 9
+        sy = (syc // 3 - 1).astype(jnp.float32) * ly
+        sz = (code - (code // 3) * 3 - 1).astype(jnp.float32) * lz
+        in_run = (lane >= lo_lane) & (lane < hi_lane)
+        jx = pT_ref[0:1, pl.ds(start, n_lanes)] + sx
+        jy = pT_ref[1:2, pl.ds(start, n_lanes)] + sy
+        jz = jnp.where(in_run, pT_ref[2:3, pl.ds(start, n_lanes)] + sz, 1e9)
+        jq = pT_ref[3:4, pl.ds(start, n_lanes)]
+        jsh = pT_ref[4:5, pl.ds(start, n_lanes)]
+        jse = pT_ref[5:6, pl.ds(start, n_lanes)]
+        alch = None
+        if has_alch:
+            cmj = pT_ref[6:7, pl.ds(start, n_lanes)]
+            is_alch = cmi + cmj - 2.0 * cmi * cmj
+            alch = 1.0 - is_alch * (1.0 - couple)
+        coeff, e_lj, e_c, dx, dy, dz = _pair_tile(
+            xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
+            rc2, beta, coeffs, want_energy, alch)
+        fx = fx - (2.0 * coeff) * dx
+        fy = fy - (2.0 * coeff) * dy
+        fz = fz - (2.0 * coeff) * dz
+        if want_energy:
+            elj = elj + e_lj
+            ec = ec + e_c
+        return fx, fy, fz, elj, ec
+
+    fx, fy, fz, elj, ec = jax.lax.fori_loop(
+        0, nw, body, (zero, zero, zero, zero, zero))
+
+    o_ref[:, 0:1] = jnp.sum(fx, axis=1, keepdims=True)
+    o_ref[:, 1:2] = jnp.sum(fy, axis=1, keepdims=True)
+    o_ref[:, 2:3] = jnp.sum(fz, axis=1, keepdims=True)
+    if want_energy:
+        o_ref[:, 3:4] = 0.5 * jnp.sum(elj, axis=1, keepdims=True)
+        o_ref[:, 4:5] = 0.5 * jnp.sum(ec, axis=1, keepdims=True)
+    else:
+        o_ref[:, 3:5] = jnp.zeros((ICL, 2), jnp.float32)
+
+
+def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
+                           want_energy: bool = True,
+                           interpret: bool = False):
+    """Build direct(rows, pT, wl, nw, box, couple) -> (F_sorted [S,3],
+    e_lj, e_c).
+
+    rows: [S, 8] f32 sorted atom rows (x, y, z, q*sqrt(kC), sigma/2,
+          2*sqrt(eps), couple_mask, pad)
+    pT:   [8, S] f32, the same transposed
+    """
+    NC = plan.n_clusters
+    S = plan.n_sorted
+    rc2 = float(plan.cutoff) ** 2
+    beta = float(plan.beta)
+    coeffs = tuple(float(v) for v in plan.erfcx_coeffs)
+
+    kernel = functools.partial(
+        _kernel, rc2=rc2, beta=beta, coeffs=coeffs,
+        want_energy=want_energy, n_lanes=128, has_alch=has_alch)
+
+    grid_spec = pl.GridSpec(
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda c: (c, 0),
+                         memory_space=pltpu.SMEM),          # nw
+            pl.BlockSpec((1, W_MAX), lambda c: (c, 0),
+                         memory_space=pltpu.SMEM),          # wl
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # pT
+            pl.BlockSpec((1, 4), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),          # box + couple
+        ],
+        out_specs=pl.BlockSpec((ICL, 128), lambda c: (c, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    pc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.float32),
+        interpret=interpret,
+    )
+
+    def direct(rows, pT, wl, nw, box, couple):
+        params = jnp.stack([
+            box[0].astype(jnp.float32), box[1].astype(jnp.float32),
+            box[2].astype(jnp.float32), couple.astype(jnp.float32),
+        ]).reshape(1, 4)
+        out = pc(nw.reshape(NC, 1), wl, rows, pT, params)
+        f = out[:, :3]
+        e_lj = jnp.sum(out[:, 3])
+        e_c = jnp.sum(out[:, 4])
+        return f, e_lj, e_c
+
+    return direct
+
+
+# ---------------------------------------------------------------------------
+# Matching pair-list formula (for exclusion / 1-4 subtraction and testing).
+# ---------------------------------------------------------------------------
+
+def pairlist_colpair_energy(x, box, idx, mask, q_kc, sig_half, eps_2sqrt,
+                            couple_mask, couple, plan: ColPlan,
+                            lj_scale=1.0, coulomb_scale=1.0,
+                            want_force=False):
+    """(e_lj, e_c) over an explicit pair list with arithmetic matching the
+    colpair kernel exactly (same rsqrt / poly-erfc / clamp), so subtracting
+    it from the kernel's window sums cancels excluded pairs to f32 roundoff.
+    Differentiable."""
+    from ...ops.pbc import minimum_image
+
+    beta = plan.beta
+    coeffs = plan.erfcx_coeffs
+    rc2 = plan.cutoff ** 2
+    i, j = idx[:, 0], idx[:, 1]
+    d = minimum_image(x[i] - x[j], box) if box is not None else x[i] - x[j]
+    r2 = jnp.sum(d * d, axis=-1)
+    valid = (r2 < rc2) & (r2 > 1e-9) & (mask > 0)
+    r2s = jnp.clip(r2, R2_MIN, rc2)
+    inv_r = jax.lax.rsqrt(r2s)
+    inv_r2 = inv_r * inv_r
+    sig = sig_half[i] + sig_half[j]
+    eps4 = eps_2sqrt[i] * eps_2sqrt[j]
+    cm_i, cm_j = couple_mask[i], couple_mask[j]
+    is_alch = cm_i + cm_j - 2.0 * cm_i * cm_j
+    cpl = 1.0 - is_alch * (1.0 - couple)
+    eps4 = eps4 * cpl
+    s2 = (sig * sig) * inv_r2
+    s6 = s2 * s2 * s2
+    s12 = s6 * s6
+    e_lj = eps4 * (s12 - s6)
+    kqq = q_kc[i] * q_kc[j] * cpl
+    xx = beta * (r2s * inv_r)
+    ex = jnp.exp(-xx * xx)
+    g = coeffs[-1]
+    for c in coeffs[-2::-1]:
+        g = g * xx + c
+    erfc_v = g * ex
+    e_c = kqq * erfc_v * inv_r
+    zero = jnp.zeros_like(e_lj)
+    return (jnp.sum(jnp.where(valid, e_lj, zero)) * lj_scale,
+            jnp.sum(jnp.where(valid, e_c, zero)) * coulomb_scale)
