@@ -209,7 +209,7 @@ def make_window_fn(plan: ColPlan):
 
     dxdy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
-    def windows(xs, keys, box, mask_s):
+    def windows(xs, keys, box, mask_s, col_start):
         lz = box[2]
         wx = box[0] / nx
         wy = box[1] / ny
@@ -284,12 +284,16 @@ def make_window_fn(plan: ColPlan):
                 khi = (jcol << ZBITS) | zq(zh)
                 lo = jnp.searchsorted(keys, klo, side="left").astype(jnp.int32)
                 hi = jnp.searchsorted(keys, khi, side="right").astype(jnp.int32)
+                # clamp to the column's run: trailing pad slots share the
+                # last column's key and would otherwise inflate its ranges
+                lo = jnp.maximum(lo, col_start[jcol])
+                hi = jnp.minimum(hi, col_start[jcol + 1])
                 s0 = lo // 128
                 s1 = (hi + 127) // 128
                 n_sl = jnp.where(ok & (hi > lo), s1 - s0, 0)
-                slice_ovf.append(jnp.max(jnp.maximum(n_sl - 4, 0)))
+                slice_ovf.append(jnp.max(jnp.maximum(n_sl - 6, 0)))
                 code = (sx + 1) * 9 + (sy + 1) * 3 + (sz + 1)
-                for s in range(4):
+                for s in range(6):
                     sid = s0 + s
                     lo_lane = jnp.clip(lo - sid * 128, 0, 128)
                     hi_lane = jnp.clip(hi - sid * 128, 0, 128)
@@ -298,7 +302,7 @@ def make_window_fn(plan: ColPlan):
                     good = (s < n_sl) & (hi_lane > lo_lane)
                     entries.append(jnp.where(good, packed, 0))
                     valids.append(good)
-        ent = jnp.stack(entries, axis=1)      # [NC, 9*3*4]
+        ent = jnp.stack(entries, axis=1)      # [NC, 9*3*6]
         val = jnp.stack(valids, axis=1)
         nw = jnp.sum(val, axis=1).astype(jnp.int32)
         overflow = jnp.maximum(jnp.max(nw) - W_MAX, 0) \
@@ -362,9 +366,10 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
     return coeff, None, None, dx, dy, dz
 
 
-def _kernel(nw_ref, wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
+def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
             rc2, beta, coeffs, want_energy, n_lanes, has_alch):
     c = pl.program_id(0)
+    crow = c - (c // 8) * 8      # row within this program's (8, W) wl block
     irow = rows_ref[pl.ds(c * ICL, ICL), :]       # [ICL, 8]
     xi = irow[:, 0:1]
     yi = irow[:, 1:2]
@@ -379,13 +384,13 @@ def _kernel(nw_ref, wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
     lz = box_ref[0, 2]
     couple = box_ref[0, 3]
 
-    nw = nw_ref[0, 0]
+    nw = wl_ref[crow, 0]
     zero = jnp.zeros((ICL, n_lanes), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1)
 
     def body(w, carry):
         fx, fy, fz, elj, ec = carry
-        entry = wl_ref[0, w]
+        entry = wl_ref[crow, w + 1]
         hi_lane = entry & 255
         lo_lane = (entry >> 8) & 127
         code = (entry >> 15) & 31
@@ -451,13 +456,13 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
         _kernel, rc2=rc2, beta=beta, coeffs=coeffs,
         want_energy=want_energy, n_lanes=128, has_alch=has_alch)
 
+    # wl rows: [nw, entry_0 .. entry_{W_MAX-1}]; blocked 8 clusters per
+    # SMEM block (Mosaic requires sublane-dim blocks divisible by 8)
     grid_spec = pl.GridSpec(
         grid=(NC,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda c: (c, 0),
-                         memory_space=pltpu.SMEM),          # nw
-            pl.BlockSpec((1, W_MAX), lambda c: (c, 0),
-                         memory_space=pltpu.SMEM),          # wl
+            pl.BlockSpec((8, W_MAX + 1), lambda c: (c // 8, 0),
+                         memory_space=pltpu.SMEM),          # nw | wl
             pl.BlockSpec(memory_space=pltpu.VMEM),          # rows
             pl.BlockSpec(memory_space=pltpu.VMEM),          # pT
             pl.BlockSpec((1, 4), lambda c: (0, 0),
@@ -479,7 +484,8 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
             box[0].astype(jnp.float32), box[1].astype(jnp.float32),
             box[2].astype(jnp.float32), couple.astype(jnp.float32),
         ]).reshape(1, 4)
-        out = pc(nw.reshape(NC, 1), wl, rows, pT, params)
+        wl_full = jnp.concatenate([nw.reshape(NC, 1), wl], axis=1)
+        out = pc(wl_full, rows, pT, params)
         f = out[:, :3]
         e_lj = jnp.sum(out[:, 3])
         e_c = jnp.sum(out[:, 4])

@@ -94,7 +94,7 @@ def _run_colpair(x, q, sig, eps, box, rc, cm=None, couple=1.0, seed=0):
     rows = base[perm_np]
     mask_s = rows[:, 7]
     wl, nw, wovf = win(jnp.asarray(rows[:, :3]), keys, boxj,
-                       jnp.asarray(mask_s))
+                       jnp.asarray(mask_s), col_start)
     assert int(wovf) == 0
     direct = make_colpair_direct_fn(plan, has_alch=cm is not None,
                                     want_energy=True, interpret=True)
