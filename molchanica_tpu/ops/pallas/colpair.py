@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import COULOMB_CONST
 
-ICL = 16          # atoms per i-cluster (one grid program)
+ICL = 64          # atoms per i-cluster (one grid program)
 ZBITS = 14        # z quantization bits in the sort key
 W_MAX = 48        # max window entries per cluster
 _TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
