@@ -1,0 +1,178 @@
+"""Analytic SETTLE for rigid 3-site water + velocity projection.
+
+TPU-native constraint path for the OPC/TIP3P water block: instead of
+iterative M-SHAKE (8+ coupled 3x3 solves per step in md/constraints.py),
+SETTLE (Miyamoto & Kollman, J Comput Chem 13:952, 1992) resets every water
+to its exact rigid geometry in closed form — one vectorized pass over
+[n_waters] with no iteration, no convergence tolerance.
+
+Index arrays are passed at call time (not closed over) so the fast engine
+can re-map them to sorted slots at every neighbor rebuild without
+recompiling.
+
+Reference parity: rigid OPC water (README.md:230); the reference keeps water
+rigidity separate from HydrogenConstraint (SURVEY §2.1).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def settle_params(r_oh: float, theta_hoh: float, m_o: float, m_h: float):
+    """Canonical triangle: O at (0, -2*ra... ) following the SETTLE paper.
+
+    Returns (ra, rb, rc, m_o, m_h): O sits at (0, ra), H at (+-rc, -rb) in
+    the molecular plane with the center of mass at the origin.
+    """
+    half = 0.5 * theta_hoh
+    rc = r_oh * math.sin(half)          # half H-H distance
+    # distance O to HH midpoint
+    d_ohh = r_oh * math.cos(half)
+    m_tot = m_o + 2.0 * m_h
+    ra = 2.0 * m_h * d_ohh / m_tot      # O above COM
+    rb = d_ohh - ra                     # H line below COM
+    return float(ra), float(rb), float(rc)
+
+
+def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h):
+    """Apply SETTLE: x_new' satisfying the rigid geometry exactly.
+
+    x_new: unconstrained positions after the drift ([N,3])
+    x_old: positions BEFORE the drift (satisfying constraints)
+    widx:  [W,3] int32 (O, H1, H2) slot indices (may contain padding rows
+           pointing at a dummy atom; they settle harmlessly in isolation)
+    """
+    dtype = x_new.dtype
+    o0 = x_old[widx[:, 0]]
+    h10 = x_old[widx[:, 1]]
+    h20 = x_old[widx[:, 2]]
+    o1 = x_new[widx[:, 0]]
+    h11 = x_new[widx[:, 1]]
+    h21 = x_new[widx[:, 2]]
+    m_tot = m_o + 2.0 * m_h
+    com1 = (m_o * o1 + m_h * (h11 + h21)) / m_tot
+
+    # axes from the OLD triangle (paper: plane through old positions)
+    # z' normal to old plane
+    b0 = h10 - o0
+    c0 = h20 - o0
+    zax = jnp.cross(b0, c0)
+    zax = zax / jnp.maximum(
+        jnp.linalg.norm(zax, axis=-1, keepdims=True), 1e-12)
+    # displaced COM frame positions
+    a1 = o1 - com1
+    b1 = h11 - com1
+    c1 = h21 - com1
+    # x' along projection of a1 onto plane
+    a1z = jnp.sum(a1 * zax, axis=-1, keepdims=True)
+    a1p = a1 - a1z * zax
+    xax = a1p / jnp.maximum(jnp.linalg.norm(a1p, axis=-1, keepdims=True),
+                            1e-12)
+    yax = jnp.cross(zax, xax)
+
+    def comp(v):
+        return (jnp.sum(v * xax, -1), jnp.sum(v * yax, -1),
+                jnp.sum(v * zax, -1))
+
+    a1x, a1y, a1z_ = comp(a1)
+    b1x, b1y, b1z = comp(b1)
+    c1x, c1y, c1z = comp(c1)
+
+    # canonical positions: a' = (0, ra), b' = (-rc, -rb), c' = (rc, -rb)
+    # solve for phi (rotation out of plane about y'), psi (about x'),
+    # theta (in-plane)
+    sinphi = jnp.clip(a1z_ / ra, -1.0, 1.0)
+    cosphi = jnp.sqrt(jnp.maximum(1.0 - sinphi * sinphi, 1e-12))
+    sinpsi = jnp.clip((b1z - c1z) / (2.0 * rc * cosphi), -1.0, 1.0)
+    cospsi = jnp.sqrt(jnp.maximum(1.0 - sinpsi * sinpsi, 1e-12))
+
+    a2x = 0.0
+    a2y = ra * cosphi
+    a2z = ra * sinphi
+    b2x = -rc * cospsi
+    b2y = -rb * cosphi - rc * sinpsi * sinphi
+    b2z = -rb * sinphi + rc * sinpsi * cosphi
+    c2x = rc * cospsi
+    c2y = -rb * cosphi + rc * sinpsi * sinphi
+    c2z = -rb * sinphi - rc * sinpsi * cosphi
+
+    # theta from minimizing |pos - target|^2 over in-plane rotation:
+    # tan(theta) = (gamma) / (alpha), paper eq. A*sin + B*cos form
+    alpha = b2x * (b1x - c1x) + b1y * b2y + c1y * c2y
+    gamma = b2x * (b1y - c1y) - b1x * b2y - c1x * c2y
+    norm = jnp.sqrt(jnp.maximum(alpha * alpha + gamma * gamma, 1e-24))
+    sinth = gamma / norm
+    costh = alpha / norm
+
+    def rot(px, py, pz):
+        return (px * costh - py * sinth, px * sinth + py * costh, pz)
+
+    a3 = rot(a2x, a2y, a2z)
+    b3 = rot(b2x, b2y, b2z)
+    c3 = rot(c2x, c2y, c2z)
+
+    def back(p):
+        return (p[0][:, None] * xax + p[1][:, None] * yax
+                + p[2][:, None] * zax + com1)
+
+    o_f = back(a3).astype(dtype)
+    h1_f = back(b3).astype(dtype)
+    h2_f = back(c3).astype(dtype)
+
+    x_out = x_new
+    x_out = x_out.at[widx[:, 0]].set(o_f)
+    x_out = x_out.at[widx[:, 1]].set(h1_f)
+    x_out = x_out.at[widx[:, 2]].set(h2_f)
+    return x_out
+
+
+def settle_velocities(v, x, widx, m_o, m_h):
+    """RATTLE-style velocity projection for the 3 constraints of each water
+    (analytic 3x3 solve, vectorized)."""
+    o = x[widx[:, 0]]
+    h1 = x[widx[:, 1]]
+    h2 = x[widx[:, 2]]
+    vo = v[widx[:, 0]]
+    vh1 = v[widx[:, 1]]
+    vh2 = v[widx[:, 2]]
+    # constraint bond vectors: (O-H1), (O-H2), (H1-H2)
+    eab = o - h1
+    eac = o - h2
+    ebc = h1 - h2
+    vab = jnp.sum(eab * (vo - vh1), axis=-1)
+    vac = jnp.sum(eac * (vo - vh2), axis=-1)
+    vbc = jnp.sum(ebc * (vh1 - vh2), axis=-1)
+    io, ih = 1.0 / m_o, 1.0 / m_h
+
+    d = lambda u, w: jnp.sum(u * w, axis=-1)
+    # A[k,l] = coupling of lagrange multiplier l into constraint k rate
+    a11 = (io + ih) * d(eab, eab)
+    a12 = io * d(eab, eac)
+    a13 = -ih * d(eab, ebc)
+    a22 = (io + ih) * d(eac, eac)
+    a23 = ih * d(eac, ebc)
+    a33 = 2.0 * ih * d(ebc, ebc)
+    a21, a31, a32 = a12, a13, a23
+
+    b1, b2, b3 = -vab, -vac, -vbc
+    c00 = a22 * a33 - a23 * a32
+    c01 = a13 * a32 - a12 * a33
+    c02 = a12 * a23 - a13 * a22
+    det = a11 * c00 + a21 * c01 + a31 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    l1 = (b1 * c00 + b2 * c01 + b3 * c02) * inv_det
+    l2 = (b1 * (a23 * a31 - a21 * a33) + b2 * (a11 * a33 - a13 * a31)
+          + b3 * (a13 * a21 - a11 * a23)) * inv_det
+    l3 = (b1 * (a21 * a32 - a22 * a31) + b2 * (a12 * a31 - a11 * a32)
+          + b3 * (a11 * a22 - a12 * a21)) * inv_det
+
+    dvo = io * (l1[:, None] * eab + l2[:, None] * eac)
+    dvh1 = ih * (-l1[:, None] * eab + l3[:, None] * ebc)
+    dvh2 = ih * (-l2[:, None] * eac - l3[:, None] * ebc)
+    v = v.at[widx[:, 0]].add(dvo.astype(v.dtype))
+    v = v.at[widx[:, 1]].add(dvh1.astype(v.dtype))
+    v = v.at[widx[:, 2]].add(dvh2.astype(v.dtype))
+    return v

@@ -114,7 +114,7 @@ def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
     n_cols = nx * ny
     # capacity: real atoms + per-column pad-to-16 + headroom for density
     # fluctuation between replans
-    cap = n_atoms_real + 16 * n_cols + max(16 * n_cols, n_atoms_real // 8)
+    cap = n_atoms_real + ICL * n_cols + max(ICL * n_cols, n_atoms_real // 8)
     n_sorted = ((cap + 127) // 128) * 128
     # r2 is clamped to [R2_MIN, rc^2] before the erfc evaluation (out-of-range
     # pairs are masked afterwards), so the fit domain is exactly [0, beta*rc].
@@ -195,11 +195,12 @@ def make_window_fn(plan: ColPlan):
     """windows(x_sorted, keys_sorted, box, atom_mask_sorted)
     -> (wl [NC, W_MAX] int32, nw [NC] int32, overflow int32).
 
-    Entry packing (31 bits): sid[11] | code[5] | lo[7] | hi[8], where
-    sid = slice_start/128, code in 0..26 encodes the periodic shift
-    ((sx+1)*9 + (sy+1)*3 + (sz+1); j positions get + shift * box), and
+    Entry packing: sid[16] | lo[7] | hi[8], where sid = slice_start/128 and
     [lo, hi) are exact lane bounds within the slice — aligned slices may
     otherwise spill into the next column's run and double-count pairs.
+    Periodicity is handled by minimum image inside the kernel, so entries
+    carry no shift; wrap ranges are clipped against the main range so no
+    (i, j-slot) pair is ever covered twice.
     """
     nx, ny = plan.nx, plan.ny
     NC = plan.n_clusters
@@ -242,10 +243,6 @@ def make_window_fn(plan: ColPlan):
         for dx, dy in dxdy:
             jx = cx + dx
             jy = cy + dy
-            # a wrapped low-index window column holds high-coordinate atoms:
-            # they must appear shifted by -L next to the center cluster
-            sx = jnp.where(jx < 0, -1, 0) + jnp.where(jx >= nx, 1, 0)
-            sy = jnp.where(jy < 0, -1, 0) + jnp.where(jy >= ny, 1, 0)
             jxw = jnp.where(jx < 0, jx + nx, jnp.where(jx >= nx, jx - nx, jx))
             jyw = jnp.where(jy < 0, jy + ny, jnp.where(jy >= ny, jy - ny, jy))
             jcol = jxw * ny + jyw
@@ -263,23 +260,21 @@ def make_window_fn(plan: ColPlan):
             zr = jnp.sqrt(jnp.maximum(zr2, 0.0))
             zlo_c = zmin_c - zr
             zhi_c = zmax_c + zr
-            # up to two z-ranges: main [zlo, zhi] clipped, and a wrap range
+            # up to two z-ranges: main [zlo, zhi] clipped to the box, plus
+            # wrap ranges clipped against the main range (no double cover)
             for wrap in (0, 1, 2):   # 0 = main, 1 = low wrap, 2 = high wrap
                 if wrap == 0:
                     zl = jnp.maximum(zlo_c, 0.0)
                     zh = jnp.minimum(zhi_c, lz)
-                    sz = jnp.zeros_like(sx)
                     ok = (zh > zl) & any_valid & in_reach
-                elif wrap == 1:      # zlo < 0: top of the column, shift -Lz
-                    zl = zlo_c + lz
+                elif wrap == 1:      # zlo < 0: neighbors at the column top
+                    zl = jnp.maximum(zlo_c + lz, jnp.minimum(zhi_c, lz))
                     zh = jnp.full_like(zlo_c, lz)
-                    sz = jnp.full_like(sx, -1)
-                    ok = (zlo_c < 0.0) & any_valid & in_reach
-                else:                # zhi > Lz: bottom of the column, +Lz
+                    ok = (zlo_c < 0.0) & (zh > zl) & any_valid & in_reach
+                else:                # zhi > Lz: neighbors at the bottom
                     zl = jnp.zeros_like(zhi_c)
-                    zh = zhi_c - lz
-                    sz = jnp.full_like(sx, 1)
-                    ok = (zhi_c > lz) & any_valid & in_reach
+                    zh = jnp.minimum(zhi_c - lz, jnp.maximum(zlo_c, 0.0))
+                    ok = (zhi_c > lz) & (zh > zl) & any_valid & in_reach
                 klo = (jcol << ZBITS) | zq(zl)
                 khi = (jcol << ZBITS) | zq(zh)
                 lo = jnp.searchsorted(keys, klo, side="left").astype(jnp.int32)
@@ -292,13 +287,11 @@ def make_window_fn(plan: ColPlan):
                 s1 = (hi + 127) // 128
                 n_sl = jnp.where(ok & (hi > lo), s1 - s0, 0)
                 slice_ovf.append(jnp.max(jnp.maximum(n_sl - 6, 0)))
-                code = (sx + 1) * 9 + (sy + 1) * 3 + (sz + 1)
                 for s in range(6):
                     sid = s0 + s
                     lo_lane = jnp.clip(lo - sid * 128, 0, 128)
                     hi_lane = jnp.clip(hi - sid * 128, 0, 128)
-                    packed = (((sid << 5) | code) << 15) \
-                        | (lo_lane << 8) | hi_lane
+                    packed = (sid << 15) | (lo_lane << 8) | hi_lane
                     good = (s < n_sl) & (hi_lane > lo_lane)
                     entries.append(jnp.where(good, packed, 0))
                     valids.append(good)
@@ -323,14 +316,23 @@ def make_window_fn(plan: ColPlan):
 # ---------------------------------------------------------------------------
 
 def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
-               rc2, beta, coeffs, want_energy, alch=None):
+               rc2, beta, coeffs, want_energy, alch=None, mi=None,
+               jmask=None):
     """[ICL, 128] pair math. Returns (coeff = dV/dr2 masked, e_lj, e_c,
-    dx, dy, dz)."""
+    dx, dy, dz). `mi` = (lx, ly, lz, 1/lx, 1/ly, 1/lz) enables in-tile
+    minimum image."""
     dx = xi - jx
     dy = yi - jy
     dz = zi - jz
+    if mi is not None:
+        lx, ly, lz, ilx, ily, ilz = mi
+        dx = dx - lx * jnp.round(dx * ilx)
+        dy = dy - ly * jnp.round(dy * ily)
+        dz = dz - lz * jnp.round(dz * ilz)
     r2 = dx * dx + dy * dy + dz * dz
     valid = (r2 < rc2) & (r2 > 1e-9)
+    if jmask is not None:
+        valid = valid & jmask
     r2s = jnp.clip(r2, R2_MIN, rc2)
     inv_r = jax.lax.rsqrt(r2s)
     inv_r2 = inv_r * inv_r
@@ -383,6 +385,9 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
     ly = box_ref[0, 1]
     lz = box_ref[0, 2]
     couple = box_ref[0, 3]
+    ilx = box_ref[0, 4]
+    ily = box_ref[0, 5]
+    ilz = box_ref[0, 6]
 
     nw = wl_ref[crow, 0]
     zero = jnp.zeros((ICL, n_lanes), jnp.float32)
@@ -393,17 +398,15 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
         entry = wl_ref[crow, w + 1]
         hi_lane = entry & 255
         lo_lane = (entry >> 8) & 127
-        code = (entry >> 15) & 31
-        sid = entry >> 20
+        sid = entry >> 15
         start = pl.multiple_of(sid * 128, 128)
-        sx = (code // 9 - 1).astype(jnp.float32) * lx
-        syc = code - (code // 9) * 9
-        sy = (syc // 3 - 1).astype(jnp.float32) * ly
-        sz = (code - (code // 3) * 3 - 1).astype(jnp.float32) * lz
+        # explicit masking: position sentinels would be folded back into
+        # the box by the in-tile minimum image
         in_run = (lane >= lo_lane) & (lane < hi_lane)
-        jx = pT_ref[0:1, pl.ds(start, n_lanes)] + sx
-        jy = pT_ref[1:2, pl.ds(start, n_lanes)] + sy
-        jz = jnp.where(in_run, pT_ref[2:3, pl.ds(start, n_lanes)] + sz, 1e9)
+        jok = in_run & (pT_ref[7:8, pl.ds(start, n_lanes)] > 0.0)
+        jx = pT_ref[0:1, pl.ds(start, n_lanes)]
+        jy = pT_ref[1:2, pl.ds(start, n_lanes)]
+        jz = pT_ref[2:3, pl.ds(start, n_lanes)]
         jq = pT_ref[3:4, pl.ds(start, n_lanes)]
         jsh = pT_ref[4:5, pl.ds(start, n_lanes)]
         jse = pT_ref[5:6, pl.ds(start, n_lanes)]
@@ -414,7 +417,8 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
             alch = 1.0 - is_alch * (1.0 - couple)
         coeff, e_lj, e_c, dx, dy, dz = _pair_tile(
             xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
-            rc2, beta, coeffs, want_energy, alch)
+            rc2, beta, coeffs, want_energy, alch,
+            mi=(lx, ly, lz, ilx, ily, ilz), jmask=jok)
         fx = fx - (2.0 * coeff) * dx
         fy = fy - (2.0 * coeff) * dy
         fz = fz - (2.0 * coeff) * dz
@@ -465,8 +469,8 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
                          memory_space=pltpu.SMEM),          # nw | wl
             pl.BlockSpec(memory_space=pltpu.VMEM),          # rows
             pl.BlockSpec(memory_space=pltpu.VMEM),          # pT
-            pl.BlockSpec((1, 4), lambda c: (0, 0),
-                         memory_space=pltpu.SMEM),          # box + couple
+            pl.BlockSpec((1, 8), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),          # box/invbox/couple
         ],
         out_specs=pl.BlockSpec((ICL, 128), lambda c: (c, 0),
                                memory_space=pltpu.VMEM),
@@ -480,10 +484,12 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
     )
 
     def direct(rows, pT, wl, nw, box, couple):
+        b32 = box.astype(jnp.float32)
         params = jnp.stack([
-            box[0].astype(jnp.float32), box[1].astype(jnp.float32),
-            box[2].astype(jnp.float32), couple.astype(jnp.float32),
-        ]).reshape(1, 4)
+            b32[0], b32[1], b32[2], couple.astype(jnp.float32),
+            1.0 / b32[0], 1.0 / b32[1], 1.0 / b32[2],
+            jnp.zeros((), jnp.float32),
+        ]).reshape(1, 8)
         wl_full = jnp.concatenate([nw.reshape(NC, 1), wl], axis=1)
         out = pc(wl_full, rows, pT, params)
         f = out[:, :3]
