@@ -1,0 +1,669 @@
+"""FastSim: the sorted-state MD engine around the colpair kernel.
+
+This is the production TPU path for solvated (PBC) systems. The dynamic
+state lives in column-sorted order (see ops/pallas/colpair.py) so the
+per-step program does ZERO gathers and ZERO scatters on the hot path except
+the small bonded/constraint index reads:
+
+  chunk = [ rebuild (sort + window tables + index remap, every K steps) ]
+          -> lax.scan over K steps of
+               vsites -> colpair kernel + PME(matmul) + bonded + exclusion
+               subtraction -> BAOAB/Verlet integrate -> SETTLE + H-SHAKE
+
+All per-rebuild arrays (window table, remapped bonded/constraint indices)
+flow through the jitted chunk as data, so one compiled program serves the
+whole run. Reference surface parity: MdState::step / run_dynamics_blocking
+(/root/reference/src/md/mod.rs:716,696).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..constants import ACCEL_FACTOR, COULOMB_CONST, KB
+from ..ops.bonded import angle_energy, bond_energy, dihedral_energy
+from ..ops.pallas.colpair import (
+    ICL,
+    R2_MIN,
+    W_MAX,
+    make_colpair_direct_fn,
+    make_sort_fn,
+    make_window_fn,
+    pairlist_colpair_energy,
+    plan_columns,
+)
+from ..ops.pbc import minimum_image
+from ..ops.pme import default_grid, ewald_beta_for
+from ..ops.pme2 import make_pme2_recip_fn
+from ..topology import Topology
+from .config import MdConfig
+from .settle import settle_params, settle_positions, settle_velocities
+from .state import init_velocities, kinetic_energy, remove_com_drift
+
+
+@struct.dataclass
+class FastState:
+    """Everything that changes during a run, in sorted-slot order [S]."""
+    perm: jnp.ndarray        # [S] int32 slot -> base atom id (n_base = dummy)
+    x: jnp.ndarray           # [S, 3]
+    v: jnp.ndarray           # [S, 3]
+    props: jnp.ndarray       # [S, 5] (q*sqrt(kC), sigma/2, 2 sqrt(eps),
+                             #         couple_mask, atom_mask)
+    masses: jnp.ndarray      # [S]
+    dof: jnp.ndarray         # [S]
+    wl: jnp.ndarray          # [NC, W_MAX] int32 window entries
+    nw: jnp.ndarray          # [NC] int32
+    bond_idx: jnp.ndarray
+    angle_idx: jnp.ndarray
+    dihedral_idx: jnp.ndarray
+    excl_idx: jnp.ndarray
+    p14_idx: jnp.ndarray
+    vsite_idx: jnp.ndarray   # [V, 4]
+    widx: jnp.ndarray        # [NW, 3] water (O, H1, H2)
+    hc_idx: jnp.ndarray      # [C, 4] heavy + 3 H (clipped; mask separate)
+    rng_key: jnp.ndarray
+    box: jnp.ndarray
+    couple: jnp.ndarray
+    step: jnp.ndarray
+    overflow: jnp.ndarray    # accumulated int32
+    pe_last: jnp.ndarray
+    ke_last: jnp.ndarray
+
+
+class FastSim:
+    """Sorted-state MD engine (PBC systems). Mirrors MdSim's surface."""
+
+    def __init__(self, top: Topology, cfg: MdConfig, x0, box_extent,
+                 velocities=None):
+        assert box_extent is not None, "FastSim requires a periodic box"
+        self.top = top
+        self.cfg = cfg
+        dtype = jnp.dtype(cfg.dtype)
+        assert dtype == jnp.float32, "FastSim is a float32 engine"
+        self.n_base = top.n_atoms
+        n_base = self.n_base
+        box_np = np.asarray(box_extent, np.float64)
+        rc = float(max(cfg.lj_cutoff, cfg.coulomb_cutoff))
+        self.beta = float(ewald_beta_for(cfg.coulomb_cutoff, cfg.ewald_rtol))
+        self.plan = plan_columns(box_np, rc, self.beta, top.n_atoms_real,
+                                 n_base, skin=0.7)
+        S = self.plan.n_sorted
+        self.S = S
+
+        # ---- base (original-order) host arrays, + dummy row at n_base ----
+        def with_dummy(a, fill):
+            a = np.asarray(a)
+            d = np.full((1,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, d], axis=0)
+
+        q = np.asarray(top.charges, np.float64) * np.asarray(top.atom_mask)
+        props_base = np.stack([
+            q * np.sqrt(COULOMB_CONST),
+            np.asarray(top.lj_sigma) / 2.0,
+            2.0 * np.sqrt(np.asarray(top.lj_eps)),
+            np.asarray(top.couple_mask),
+            np.asarray(top.atom_mask)], axis=1).astype(np.float32)
+        self._props_base = jnp.asarray(with_dummy(props_base, 0.0))
+        self._charges_base = jnp.asarray(
+            with_dummy(q.astype(np.float32), 0.0))
+        self._masses_base = jnp.asarray(
+            with_dummy(np.asarray(top.masses, np.float32), 1.0))
+        self._dof_base = jnp.asarray(
+            with_dummy(np.asarray(top.dof_mask, np.float32), 0.0))
+
+        # water triplets (base order): contiguous (O, H1, H2[, M]) blocks
+        if top.water_count > 0:
+            stride = top.water_site_count
+            o = top.water_start + stride * np.arange(top.water_count)
+            widx_base = np.stack([o, o + 1, o + 2], axis=1).astype(np.int32)
+        else:
+            widx_base = np.full((1, 3), n_base, np.int32)
+        self._widx_base = jnp.asarray(widx_base)
+        self.n_waters = int(top.water_count)
+
+        # solute H clusters (exclude waters — SETTLE owns those)
+        hc_heavy = np.asarray(top.hcluster_heavy)
+        hc_h = np.asarray(top.hcluster_h)
+        hc_r0 = np.asarray(top.hcluster_r0)
+        keep = (hc_h >= 0).any(axis=1)
+        self._use_hshake = (cfg.hydrogen_constraint.kind != "flexible"
+                            and bool(keep.any()))
+        if self._use_hshake:
+            hh = hc_h[keep]
+            hc_idx = np.concatenate(
+                [hc_heavy[keep][:, None], np.where(hh < 0, n_base, hh)],
+                axis=1).astype(np.int32)
+            self._hc_mask = jnp.asarray((hh >= 0).astype(np.float32))
+            self._hc_r0 = jnp.asarray(
+                np.where(hh >= 0, hc_r0[keep], 1.0).astype(np.float32))
+            hmass = np.asarray(top.masses)
+            inv_m = np.zeros((hc_idx.shape[0], 4), np.float32)
+            inv_m[:, 0] = 1.0 / hmass[hc_idx[:, 0]]
+            for k in range(3):
+                hk = hh[:, k]
+                inv_m[:, k + 1] = np.where(
+                    hk >= 0, 1.0 / hmass[np.clip(hk, 0, n_base - 1)], 0.0)
+            self._hc_invm = jnp.asarray(inv_m)
+            self._hc_idx_base = jnp.asarray(hc_idx)
+            self.n_h_constraints = int((hh >= 0).sum())
+        else:
+            self._hc_idx_base = jnp.full((1, 4), n_base, jnp.int32)
+            self._hc_mask = jnp.zeros((1, 3), jnp.float32)
+            self._hc_r0 = jnp.ones((1, 3), jnp.float32)
+            self._hc_invm = jnp.zeros((1, 4), jnp.float32)
+            self.n_h_constraints = 0
+
+        self.n_constraints = 3 * self.n_waters + self.n_h_constraints
+
+        # vsites
+        vs = np.asarray(top.vsite_idx)
+        vmask = np.asarray(top.vsite_mask) > 0
+        if vmask.any():
+            self._vs_base = jnp.asarray(
+                np.where(vmask[:, None], vs, n_base).astype(np.int32))
+            self._vs_w = jnp.asarray(np.asarray(top.vsite_weight, np.float32))
+            self._has_vsites = True
+        else:
+            self._vs_base = jnp.full((1, 4), n_base, jnp.int32)
+            self._vs_w = jnp.zeros((1,), jnp.float32)
+            self._has_vsites = False
+
+        if self.n_waters:
+            self._settle_geom = settle_params(
+                top.water_r_oh, top.water_theta_hoh, 15.999, 1.008)
+        else:
+            self._settle_geom = (0.1, 0.1, 0.1)
+
+        # 1-4 scale divisors (per pair row)
+        self._p14_scee = jnp.asarray(
+            1.0 / np.maximum(np.asarray(top.pair14_scee), 1e-6),
+            jnp.float32)
+        self._p14_scnb = jnp.asarray(
+            1.0 / np.maximum(np.asarray(top.pair14_scnb), 1e-6),
+            jnp.float32)
+
+        # PME
+        grid = cfg.pme_grid or default_grid(box_np)
+        self._recip = make_pme2_recip_fn(grid, self.beta, dtype=jnp.float32)
+
+        # kernel instances
+        has_alch = bool(np.asarray(top.couple_mask).sum() > 0)
+        self._has_alch = has_alch
+        interpret = jax.default_backend() == "cpu"   # tests / CPU mesh
+        self._direct = make_colpair_direct_fn(
+            self.plan, has_alch=has_alch, want_energy=True,
+            interpret=interpret)
+
+        # sort/window programs (rebuild operates on length-S sorted arrays)
+        plan_S = dataclasses.replace(self.plan, n_base=S)
+        self._sort_S = make_sort_fn(plan_S)
+        self._windows = make_window_fn(self.plan)
+
+        # ---- initial state: identity layout, then one rebuild ----
+        x0_np = np.asarray(x0, np.float32)
+        assert x0_np.shape[0] == n_base
+        pad = S - n_base
+        x_init = np.concatenate(
+            [x0_np, np.full((pad, 3), 1.0e6, np.float32)], axis=0)
+        key = jax.random.PRNGKey(cfg.seed)
+        key, vkey = jax.random.split(key)
+        if velocities is None:
+            v0 = jax.jit(lambda k: init_velocities(
+                k, top.masses, top.dof_mask, cfg.temp_target, jnp.float32)
+            )(vkey)
+            v0 = np.asarray(v0)
+        else:
+            v0 = np.asarray(velocities, np.float32)
+        v_init = np.concatenate([v0, np.zeros((pad, 3), np.float32)], axis=0)
+        perm_init = np.concatenate([
+            np.arange(n_base, dtype=np.int32),
+            np.full((pad,), n_base, np.int32)])
+
+        zeros_i = jnp.zeros((), jnp.int32)
+        state = FastState(
+            perm=jnp.asarray(perm_init),
+            x=jnp.asarray(x_init),
+            v=jnp.asarray(v_init),
+            props=self._props_base[jnp.asarray(perm_init)],
+            masses=self._masses_base[jnp.asarray(perm_init)],
+            dof=self._dof_base[jnp.asarray(perm_init)],
+            wl=jnp.zeros((self.plan.n_clusters, W_MAX), jnp.int32),
+            nw=jnp.zeros((self.plan.n_clusters,), jnp.int32),
+            bond_idx=top.bond_idx, angle_idx=top.angle_idx,
+            dihedral_idx=top.dihedral_idx, excl_idx=top.excl_idx,
+            p14_idx=top.pair14_idx, vsite_idx=self._vs_base,
+            widx=self._widx_base, hc_idx=self._hc_idx_base,
+            rng_key=key,
+            box=jnp.asarray(box_np, jnp.float32),
+            couple=jnp.asarray(1.0, jnp.float32),
+            step=zeros_i, overflow=zeros_i,
+            pe_last=jnp.zeros((), jnp.float32),
+            ke_last=jnp.zeros((), jnp.float32),
+        )
+        self._rebuild_jit = jax.jit(self._rebuild)
+        self.state = self._rebuild_jit(state)
+        # project the initial geometry onto the constraint manifold (the
+        # reference engine does this inside MdState::new)
+        cp, _ = self._make_cp_cv()
+        if cp is not None:
+            st = self.state
+            self.state = st.replace(
+                x=jax.jit(lambda s: cp(s.x, s.x, s))(st))
+        self.snapshots: list = []
+        self._wall_time = 0.0
+        self._chunk_cache = {}
+        self._last_terms = {}
+
+    # ------------------------------------------------------------------
+    def _rebuild(self, st: FastState) -> FastState:
+        """Re-sort by column, regather, remap indices, rebuild windows."""
+        S = self.S
+        x = st.x - st.box * jnp.floor(st.x / st.box)      # per-atom wrap
+        mask = st.props[:, 4]
+        perm2, keys, col_start, ovf1 = self._sort_S(x, st.box, mask)
+        # compose: new slot -> base id
+        perm_ext = jnp.concatenate(
+            [st.perm, jnp.asarray([self.n_base], jnp.int32)])
+        perm_new = perm_ext[perm2]
+        # gathers from current sorted arrays (dummy row appended)
+        def g3(a, fill):
+            a_ext = jnp.concatenate(
+                [a, jnp.full((1, 3), fill, a.dtype)], axis=0)
+            return a_ext[perm2]
+        x_new = g3(x, 1.0e6)
+        v_new = g3(st.v, 0.0)
+        props_new = self._props_base[perm_new]
+        masses_new = self._masses_base[perm_new]
+        dof_new = self._dof_base[perm_new]
+        # inverse: old slot -> new slot (dummy -> S)
+        inv2 = jnp.full((S + 1,), S, jnp.int32)
+        inv2 = inv2.at[perm2].set(jnp.arange(S, dtype=jnp.int32))
+        inv2 = inv2.at[S].set(S)
+
+        def remap(idx):
+            return inv2[jnp.clip(idx, 0, S)]
+
+        wl, nw, ovf2 = self._windows(x_new, keys, st.box,
+                                     props_new[:, 4], col_start)
+        return st.replace(
+            perm=perm_new, x=x_new, v=v_new, props=props_new,
+            masses=masses_new, dof=dof_new, wl=wl, nw=nw,
+            bond_idx=remap(st.bond_idx), angle_idx=remap(st.angle_idx),
+            dihedral_idx=remap(st.dihedral_idx),
+            excl_idx=remap(st.excl_idx), p14_idx=remap(st.p14_idx),
+            vsite_idx=remap(st.vsite_idx), widx=remap(st.widx),
+            hc_idx=remap(st.hc_idx),
+            overflow=st.overflow + ovf1 + ovf2,
+        )
+
+    # ------------------------------------------------------------------
+    def _apply_vsites(self, x, vsite_idx, box):
+        if not self._has_vsites:
+            return x
+        m = vsite_idx[:, 0]
+        o = vsite_idx[:, 1]
+        h1 = vsite_idx[:, 2]
+        h2 = vsite_idx[:, 3]
+        w = self._vs_w[:, None]
+        d1 = minimum_image(x[h1] - x[o], box)
+        d2 = minimum_image(x[h2] - x[o], box)
+        xm = x[o] + w * (d1 + d2)
+        return x.at[m].set(xm)
+
+    def _spread_vsite_forces(self, f, vsite_idx):
+        if not self._has_vsites:
+            return f
+        m = vsite_idx[:, 0]
+        o = vsite_idx[:, 1]
+        h1 = vsite_idx[:, 2]
+        h2 = vsite_idx[:, 3]
+        w = self._vs_w[:, None]
+        fm = f[m]
+        f = f.at[m].set(jnp.zeros_like(fm))
+        f = f.at[o].add((1.0 - 2.0 * w) * fm)
+        f = f.at[h1].add(w * fm)
+        f = f.at[h2].add(w * fm)
+        return f
+
+    # ------------------------------------------------------------------
+    def _make_force_fn(self, st_template, want_energy=True):
+        """force(x, st) -> (f, (e, terms)). Index arrays come from `st`."""
+        plan = self.plan
+        beta = self.beta
+        ov = self.cfg.overrides
+        scee = self._p14_scee
+        scnb = self._p14_scnb
+
+        def force(x, st: FastState):
+            box = st.box
+            couple = st.couple
+            props = st.props
+            x_v = self._apply_vsites(x, st.vsite_idx, box)
+            rows = jnp.concatenate(
+                [x_v, props, jnp.zeros((self.S, 0), jnp.float32)], axis=1)
+            pT = rows.T
+            f_dir, e_lj, e_c = self._direct(
+                rows, pT, st.wl, st.nw, box, couple)
+
+            q_kc = props[:, 0]
+            sh = props[:, 1]
+            se = props[:, 2]
+            cm = props[:, 3]
+            q_plain = q_kc / np.sqrt(COULOMB_CONST)
+
+            def e_rest_fn(xv):
+                eb = bond_energy(xv, box, st.bond_idx, self.top.bond_k,
+                                 self.top.bond_r0)
+                ea = angle_energy(xv, box, st.angle_idx, self.top.angle_k,
+                                  self.top.angle_theta0)
+                ed = dihedral_energy(
+                    xv, box, st.dihedral_idx, self.top.dihedral_k,
+                    self.top.dihedral_n, self.top.dihedral_phase)
+                e_bonded = eb + ea + ed
+                # subtract the kernel's contribution for excluded + 1-4
+                # pairs (identical arithmetic => exact cancellation)
+                el_x, ec_x = pairlist_colpair_energy(
+                    xv, box, st.excl_idx, self.top.excl_mask, q_kc, sh, se,
+                    cm, couple, plan)
+                el_4, ec_4 = pairlist_colpair_energy(
+                    xv, box, st.p14_idx, self.top.pair14_mask, q_kc, sh, se,
+                    cm, couple, plan)
+                # add scaled 1-4: LJ/scnb + plain Coulomb/scee
+                i = st.p14_idx[:, 0]
+                j = st.p14_idx[:, 1]
+                d = minimum_image(xv[i] - xv[j], box)
+                r2 = jnp.maximum(jnp.sum(d * d, -1), R2_MIN)
+                inv_r = jax.lax.rsqrt(r2)
+                sig = sh[i] + sh[j]
+                eps4 = se[i] * se[j]
+                cpl14 = 1.0 - (cm[i] + cm[j] - 2.0 * cm[i] * cm[j]) \
+                    * (1.0 - couple)
+                s6 = (sig * sig / r2) ** 3
+                pm = self.top.pair14_mask
+                e14_lj = jnp.sum(
+                    pm * scnb * cpl14 * eps4 * (s6 * s6 - s6))
+                e14_c = jnp.sum(pm * scee * cpl14 * q_kc[i] * q_kc[j]
+                                * inv_r)
+                # reciprocal + self + erf exclusion correction
+                q_eff = q_plain * (1.0 - cm * (1.0 - couple))
+                e_recip = self._recip(xv, q_eff, box)
+                e_self = -beta / jnp.sqrt(jnp.pi) * COULOMB_CONST \
+                    * jnp.sum(q_eff * q_eff)
+                # erf part of excluded pairs (they are in the reciprocal
+                # sum but must not interact): subtract erf(beta r)/r
+                ee_i = st.excl_idx[:, 0]
+                ee_j = st.excl_idx[:, 1]
+                dd = minimum_image(xv[ee_i] - xv[ee_j], box)
+                rr2 = jnp.maximum(jnp.sum(dd * dd, -1), 1e-4)
+                rr = jnp.sqrt(rr2)
+                cpl_x = (1.0 - cm[ee_i] * (1.0 - couple)) \
+                    * (1.0 - cm[ee_j] * (1.0 - couple))
+                e_corr = -COULOMB_CONST * jnp.sum(
+                    self.top.excl_mask * cpl_x * q_plain[ee_i]
+                    * q_plain[ee_j] * jax.scipy.special.erf(beta * rr) / rr)
+                # 1-4 pairs likewise get full erf subtraction (their PME
+                # direct+recip contribution must reduce to scaled plain
+                # Coulomb): subtract erf for them too
+                dd4 = minimum_image(xv[i] - xv[j], box)
+                r24 = jnp.maximum(jnp.sum(dd4 * dd4, -1), 1e-4)
+                rr4 = jnp.sqrt(r24)
+                e_corr4 = -COULOMB_CONST * jnp.sum(
+                    pm * cpl14 * q_plain[i] * q_plain[j]
+                    * jax.scipy.special.erf(beta * rr4) / rr4)
+                e_rest = (e_bonded - el_x - ec_x - el_4 - ec_4
+                          + e14_lj + e14_c + e_recip + e_self
+                          + e_corr + e_corr4)
+                terms = dict(bond=eb, angle=ea, dihedral=ed,
+                             recip=e_recip,
+                             energy_potential_bonded=e_bonded)
+                return e_rest, terms
+
+            (e_rest, terms), g = jax.value_and_grad(
+                e_rest_fn, has_aux=True)(x_v)
+            f = f_dir - g
+            f = self._spread_vsite_forces(f, st.vsite_idx)
+            f = f * props[:, 4:5]
+            e_tot = e_rest + e_lj + e_c
+            terms = dict(
+                terms,
+                lj=e_lj, coulomb=e_c,
+                energy_potential=e_tot,
+                energy_potential_nonbonded=e_tot
+                - terms["energy_potential_bonded"],
+            )
+            return f, (e_tot, terms)
+
+        return force
+
+    # ------------------------------------------------------------------
+    def _make_cp_cv(self):
+        ra, rb, rcs = self._settle_geom
+        use_settle = self.n_waters > 0
+        use_h = self._use_hshake
+        hc_mask = self._hc_mask
+        hc_r0 = self._hc_r0
+        hc_invm = self._hc_invm
+
+        def hshake_pos(x_new, x_ref, hc_idx, box, iters=6):
+            """Star-topology M-SHAKE: heavy atom + up to 3 H."""
+            heavy = hc_idx[:, 0]
+            hs = hc_idx[:, 1:]
+            x0h = x_ref[heavy]
+            r0 = minimum_image(x_ref[hs] - x0h[:, None, :], box)  # [C,3,3]
+            inv_mh = hc_invm[:, 0:1]
+            inv_mk = hc_invm[:, 1:]
+
+            def body(_, xn):
+                xh = xn[heavy]
+                r = minimum_image(xn[hs] - xh[:, None, :], box)
+                # A[k,l] = 2 (d_kl (1/mh + 1/mk) ... star coupling:
+                # c_kl = 1/mh + delta_kl / m_k (all constraints share heavy)
+                dot = jnp.einsum("cki,cli->ckl", r, r0)
+                ckl = inv_mh[:, :, None] + \
+                    jnp.eye(3)[None] * inv_mk[:, :, None]
+                A = 2.0 * ckl * dot
+                b = hc_r0 ** 2 - jnp.sum(r * r, -1)
+                m2 = hc_mask[:, :, None] * hc_mask[:, None, :]
+                A = A * m2 + jnp.eye(3)[None] * (1.0 - hc_mask)[:, None, :] \
+                    * jnp.eye(3)[None]
+                lam = jnp.linalg.solve(A, (b * hc_mask)[..., None])[..., 0]
+                lam = lam * hc_mask
+                # H_k += lam_k r0_k / m_k ; heavy -= sum_k lam_k r0_k / m_h
+                dh = lam[..., None] * r0 * inv_mk[..., None]
+                dheavy = -jnp.sum(lam[..., None] * r0, axis=1) * inv_mh
+                xn = xn.at[hs].add(dh)
+                xn = xn.at[heavy].add(dheavy)
+                return xn
+
+            return jax.lax.fori_loop(0, iters, body, x_new)
+
+        def hshake_vel(v, x, hc_idx, box):
+            heavy = hc_idx[:, 0]
+            hs = hc_idx[:, 1:]
+            r = minimum_image(x[hs] - x[heavy][:, None, :], box)
+            rv = v[hs] - v[heavy][:, None, :]
+            inv_mh = hc_invm[:, 0:1]
+            inv_mk = hc_invm[:, 1:]
+            ckl = inv_mh[:, :, None] + jnp.eye(3)[None] * inv_mk[:, :, None]
+            A = ckl * jnp.einsum("cki,cli->ckl", r, r)
+            b = -jnp.sum(r * rv, -1)
+            m2 = hc_mask[:, :, None] * hc_mask[:, None, :]
+            A = A * m2 + jnp.eye(3)[None] * (1.0 - hc_mask)[:, None, :] \
+                * jnp.eye(3)[None]
+            mu = jnp.linalg.solve(A, (b * hc_mask)[..., None])[..., 0]
+            mu = mu * hc_mask
+            dvh = mu[..., None] * r * inv_mk[..., None]
+            dvheavy = -jnp.sum(mu[..., None] * r, axis=1) * inv_mh
+            v = v.at[hs].add(dvh)
+            v = v.at[heavy].add(dvheavy)
+            return v
+
+        def cp(x_new, x_ref, st):
+            if use_settle:
+                x_new = settle_positions(
+                    x_new, x_ref, st.widx, ra, rb, rcs, 15.999, 1.008,
+                    box=st.box)
+            if use_h:
+                x_new = hshake_pos(x_new, x_ref, st.hc_idx, st.box)
+            return x_new
+
+        def cv(v, x, st):
+            if use_settle:
+                v = settle_velocities(v, x, st.widx, 15.999, 1.008,
+                                      box=st.box)
+            if use_h:
+                v = hshake_vel(v, x, st.hc_idx, st.box)
+            return v
+
+        if not (use_settle or use_h):
+            return None, None
+        return cp, cv
+
+    # ------------------------------------------------------------------
+    def _get_chunk_fn(self, dt: float, k_steps: int, record_energy: bool,
+                      force_cap):
+        key = (dt, k_steps, record_energy, force_cap)
+        if key in self._chunk_cache:
+            return self._chunk_cache[key]
+
+        from .integrators import make_integrator_step
+
+        cfg = self.cfg
+        cp, cv = self._make_cp_cv()
+        force = self._make_force_fn(None)
+
+        def chunk(st: FastState):
+            st = self._rebuild(st)
+            force_st = lambda x, box, couple: force(x, st)
+            cp_st = (lambda xn, xr: cp(xn, xr, st)) if cp else None
+            cv_st = (lambda v, x: cv(v, x, st)) if cv else None
+            one = make_integrator_step(
+                force_st, st.masses, st.dof, cfg.integrator.kind, dt=dt,
+                temp_target=cfg.temp_target,
+                thermostat_tau=cfg.integrator.thermostat_tau,
+                gamma=cfg.integrator.gamma,
+                constrain_positions=cp_st, constrain_velocities=cv_st,
+                n_constraints=self.n_constraints, force_cap=force_cap)
+
+            f0, (e0, t0) = force(st.x, st)
+
+            def body(carry, _):
+                x, v, f, k = carry
+                x, v, f, e, terms, k = one(x, v, f, st.box, st.couple, k)
+                out = (e,) if record_energy else ()
+                return (x, v, f, k), out
+
+            (x, v, f, k), outs = jax.lax.scan(
+                body, (st.x, st.v, f0, st.rng_key), None, length=k_steps)
+            if cfg.zero_com_drift:
+                v = remove_com_drift(v, st.masses, st.dof)
+            _, (e_fin, terms) = force(x, st)
+            ke = kinetic_energy(v, st.masses, st.dof)
+            st = st.replace(x=x, v=v, rng_key=k, step=st.step + k_steps,
+                            pe_last=e_fin, ke_last=ke)
+            energies = outs[0] if record_energy else None
+            return st, terms, energies
+
+        fn = jax.jit(chunk)
+        self._chunk_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def step(self, dt_ps: float, n_steps: int = 1, record_energy=False,
+             force_cap=None):
+        t0 = time.perf_counter()
+        k = min(self.cfg.neighbor_rebuild_every, n_steps)
+        energies = []
+        done = 0
+        while done < n_steps:
+            todo = min(k, n_steps - done)
+            fn = self._get_chunk_fn(float(dt_ps), todo, record_energy,
+                                    force_cap)
+            self.state, terms, es = fn(self.state)
+            self._last_terms = terms
+            if record_energy and es is not None:
+                energies.append(es)
+            done += todo
+        ovf = int(self.state.overflow)   # sync point (one fetch per call)
+        self._wall_time += time.perf_counter() - t0
+        if ovf > 0:
+            raise RuntimeError(
+                f"colpair overflow ({ovf}): column capacity or window "
+                "table exceeded — replan required")
+        return jnp.concatenate(energies) if energies else None
+
+    def run(self, dt_ps: float, n_steps: int,
+            snapshot_interval: Optional[int] = None, collect=True):
+        if snapshot_interval is None:
+            snapshot_interval = self.cfg.snapshot_handlers.memory or n_steps
+        done = 0
+        while done < n_steps:
+            todo = min(snapshot_interval, n_steps - done)
+            self.step(dt_ps, todo)
+            done += todo
+            if collect:
+                self._record_snapshot(dt_ps)
+        return self.snapshots
+
+    # ------------------------------------------------------------------
+    def positions_unsorted(self):
+        """Positions in original (base) order [n_base, 3]."""
+        st = self.state
+        out = jnp.zeros((self.n_base + 1, 3), jnp.float32)
+        out = out.at[st.perm].set(st.x)
+        return np.asarray(out[: self.n_base])
+
+    def velocities_unsorted(self):
+        st = self.state
+        out = jnp.zeros((self.n_base + 1, 3), jnp.float32)
+        out = out.at[st.perm].set(st.v)
+        return np.asarray(out[: self.n_base])
+
+    def _record_snapshot(self, dt_ps):
+        from .snapshot import Snapshot, EnergyData
+        x = self.positions_unsorted()
+        terms = {kk: float(v) for kk, v in self._last_terms.items()}
+        ed = EnergyData(
+            energy_potential=terms.get("energy_potential", 0.0),
+            energy_potential_nonbonded=terms.get(
+                "energy_potential_nonbonded", 0.0),
+            energy_potential_bonded=terms.get(
+                "energy_potential_bonded", 0.0),
+        )
+        self.snapshots.append(Snapshot(
+            time=float(self.step_count) * dt_ps,
+            atom_posits=x, energy_data=ed))
+
+    @property
+    def step_count(self) -> int:
+        return int(self.state.step)
+
+    def computation_time(self) -> float:
+        return self._wall_time
+
+    def configure_alchemical_window(self, lam: float):
+        self.state = self.state.replace(
+            couple=jnp.asarray(1.0 - lam, jnp.float32))
+
+    def temperature(self) -> float:
+        st = self.state
+        v = np.asarray(st.v)
+        m = np.asarray(st.masses)
+        d = np.asarray(st.dof)
+        ke = 0.5 * float((m * d * (v * v).sum(-1)).sum()) / ACCEL_FACTOR
+        ndof = max(3.0 * d.sum() - self.n_constraints - 3.0, 1.0)
+        return 2.0 * ke / (KB * ndof)
+
+    def potential_energy(self) -> float:
+        if not hasattr(self, "_efn"):
+            force = self._make_force_fn(None)
+            self._efn = jax.jit(lambda st: force(st.x, st)[1])
+        e, terms = self._efn(self.state)
+        self._last_terms = terms
+        return float(e)

@@ -37,21 +37,26 @@ def settle_params(r_oh: float, theta_hoh: float, m_o: float, m_h: float):
     return float(ra), float(rb), float(rc)
 
 
-def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h):
+def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
     """Apply SETTLE: x_new' satisfying the rigid geometry exactly.
 
     x_new: unconstrained positions after the drift ([N,3])
     x_old: positions BEFORE the drift (satisfying constraints)
     widx:  [W,3] int32 (O, H1, H2) slot indices (may contain padding rows
            pointing at a dummy atom; they settle harmlessly in isolation)
+    box:   optional [3] extent — works in the old O's minimum-image frame so
+           molecules split by per-atom wrapping settle correctly
     """
+    from ..ops.pbc import minimum_image
+
     dtype = x_new.dtype
-    o0 = x_old[widx[:, 0]]
-    h10 = x_old[widx[:, 1]]
-    h20 = x_old[widx[:, 2]]
-    o1 = x_new[widx[:, 0]]
-    h11 = x_new[widx[:, 1]]
-    h21 = x_new[widx[:, 2]]
+    anchor = x_old[widx[:, 0]]
+    o0 = jnp.zeros_like(anchor)
+    h10 = minimum_image(x_old[widx[:, 1]] - anchor, box)
+    h20 = minimum_image(x_old[widx[:, 2]] - anchor, box)
+    o1 = minimum_image(x_new[widx[:, 0]] - anchor, box)
+    h11 = minimum_image(x_new[widx[:, 1]] - anchor, box)
+    h21 = minimum_image(x_new[widx[:, 2]] - anchor, box)
     m_tot = m_o + 2.0 * m_h
     com1 = (m_o * o1 + m_h * (h11 + h21)) / m_tot
 
@@ -118,9 +123,9 @@ def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h):
         return (p[0][:, None] * xax + p[1][:, None] * yax
                 + p[2][:, None] * zax + com1)
 
-    o_f = back(a3).astype(dtype)
-    h1_f = back(b3).astype(dtype)
-    h2_f = back(c3).astype(dtype)
+    o_f = (back(a3) + anchor).astype(dtype)
+    h1_f = (back(b3) + anchor).astype(dtype)
+    h2_f = (back(c3) + anchor).astype(dtype)
 
     x_out = x_new
     x_out = x_out.at[widx[:, 0]].set(o_f)
@@ -129,12 +134,15 @@ def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h):
     return x_out
 
 
-def settle_velocities(v, x, widx, m_o, m_h):
+def settle_velocities(v, x, widx, m_o, m_h, box=None):
     """RATTLE-style velocity projection for the 3 constraints of each water
     (analytic 3x3 solve, vectorized)."""
-    o = x[widx[:, 0]]
-    h1 = x[widx[:, 1]]
-    h2 = x[widx[:, 2]]
+    from ..ops.pbc import minimum_image
+
+    anchor = x[widx[:, 0]]
+    o = jnp.zeros_like(anchor)
+    h1 = minimum_image(x[widx[:, 1]] - anchor, box)
+    h2 = minimum_image(x[widx[:, 2]] - anchor, box)
     vo = v[widx[:, 0]]
     vh1 = v[widx[:, 1]]
     vh2 = v[widx[:, 2]]

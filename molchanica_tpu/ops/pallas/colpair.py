@@ -51,6 +51,15 @@ _TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
 # equilibration, or excluded intramolecular pairs) are evaluated at the
 # clamped distance. The subtraction path applies the SAME clamp.
 R2_MIN = 0.25
+# LJ distances are additionally floored at SIG_CLAMP * sigma_ij: excluded
+# intramolecular pairs sit at ~0.3 sigma where r^-12 reaches ~1e7 and the
+# f32 window-minus-subtraction cancellation would leave O(1) kcal/mol noise.
+# 0.45 sigma is below every bonded/excluded contact (the shortest, C-C at
+# 1.52 A / sigma 3.4, sits at 0.447 sigma) yet caps r^-12 at ~1.4e4, keeping
+# the f32 cancellation noise ~1e-3 kcal/mol per pair — the same philosophy
+# as the reference's softened Coulomb (src/cuda/util.cu:54). Forces remain
+# -grad(E) everywhere (flat below the clamp).
+SIG_CLAMP = 0.45
 
 
 def erfcx_cheb_coeffs(xmax: float, deg: int = 12) -> np.ndarray:
@@ -342,11 +351,15 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
     if alch is not None:
         cpl = alch
         eps4 = eps4 * cpl
-    s2 = (sig * sig) * inv_r2
+    sig2 = sig * sig
+    r2_lj = jnp.maximum(r2s, (SIG_CLAMP * SIG_CLAMP) * sig2)
+    inv_r2lj = 1.0 / jnp.where(r2_lj > 0.0, r2_lj, 1.0)
+    s2 = sig2 * inv_r2lj
     s6 = s2 * s2 * s2
     s12 = s6 * s6
     e_lj = eps4 * (s12 - s6)
-    dlj = eps4 * (6.0 * s6 - 12.0 * s12) * inv_r2
+    dlj = eps4 * (3.0 * s6 - 6.0 * s12) * inv_r2lj
+    dlj = jnp.where(r2s >= r2_lj, dlj, 0.0)   # flat below the clamp
 
     kqq = qi * jq                         # inputs are q * sqrt(k_C)
     if alch is not None:
@@ -530,7 +543,9 @@ def pairlist_colpair_energy(x, box, idx, mask, q_kc, sig_half, eps_2sqrt,
     is_alch = cm_i + cm_j - 2.0 * cm_i * cm_j
     cpl = 1.0 - is_alch * (1.0 - couple)
     eps4 = eps4 * cpl
-    s2 = (sig * sig) * inv_r2
+    sig2 = sig * sig
+    r2_lj = jnp.maximum(r2s, (SIG_CLAMP * SIG_CLAMP) * sig2)
+    s2 = sig2 / jnp.where(r2_lj > 0.0, r2_lj, 1.0)
     s6 = s2 * s2 * s2
     s12 = s6 * s6
     e_lj = eps4 * (s12 - s6)

@@ -56,10 +56,12 @@ def _dense_reference(xw, q, sig, eps, box, rc, beta, couple_mask=None,
         cpl = 1.0 - is_alch * (1.0 - couple)
         eps4 = eps4 * cpl
         kqq = kqq * cpl
-    s6 = (s * s * inv_r2) ** 3
+    from molchanica_tpu.ops.pallas.colpair import SIG_CLAMP
+    r2lj = np.maximum(r2s, (SIG_CLAMP * s) ** 2)
+    s6 = (s * s / r2lj) ** 3
     s12 = s6 ** 2
     e_lj = eps4 * (s12 - s6)
-    dlj = eps4 * (6 * s6 - 12 * s12) * inv_r2
+    dlj = np.where(r2s >= r2lj, eps4 * (3 * s6 - 6 * s12) / r2lj, 0.0)
     r = r2s * inv_r
     erfc_v = erfc(beta * r)
     e_c = kqq * erfc_v * inv_r
