@@ -48,6 +48,12 @@ def make_energy_fn(top: Topology, cfg: MdConfig, method: str = "allpairs",
     ov = cfg.overrides
     scee = 1.0 / jnp.maximum(top.pair14_scee, 1e-6)
     scnb = 1.0 / jnp.maximum(top.pair14_scnb, 1e-6)
+    # couple-intramol=no: intramolecular pairs of the coupled molecule stay
+    # at full strength at every lambda (see nb.intramol_recip_compensation)
+    _im_idx, _im_mask = nb.intramol_pairs_np(top)
+    _has_alch = bool(_im_mask.sum() > 0)
+    im_idx = jnp.asarray(_im_idx)
+    im_mask = jnp.asarray(_im_mask)
 
     def energy(x, box_extent, couple):
         x = apply_virtual_sites(x, top)
@@ -86,6 +92,9 @@ def make_energy_fn(top: Topology, cfg: MdConfig, method: str = "allpairs",
                 e_c = e_c + nb.ewald_exclusion_correction(
                     x, box, top, couple, ewald_beta,
                 )
+                if _has_alch:
+                    e_c = e_c + nb.intramol_recip_compensation(
+                        x, box, top, im_idx, im_mask, couple, ewald_beta)
         elif method == "pme_rest":
             # Everything EXCEPT the direct-space window sums (those come from
             # the Pallas kernel): reciprocal + self + erf exclusion
@@ -116,6 +125,9 @@ def make_energy_fn(top: Topology, cfg: MdConfig, method: str = "allpairs",
                 e_c = e_c + nb.ewald_exclusion_correction(
                     x, box, top, couple, ewald_beta,
                 )
+                if _has_alch:
+                    e_c = e_c + nb.intramol_recip_compensation(
+                        x, box, top, im_idx, im_mask, couple, ewald_beta)
         else:
             raise ValueError(method)
 

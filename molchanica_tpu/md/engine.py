@@ -282,7 +282,7 @@ class MdSim:
 
                 def force_nbr(x, box, couple, slot_atom, inv_slot):
                     x = apply_virtual_sites(x, top)  # M tracks O/H1/H2
-                    f1, e_lj, e_c = pdirect(
+                    f1, e_lj, e_c, ovf_d = pdirect(
                         x, box, couple, beta, slot_atom, inv_slot)
                     f1 = spread_vsite_forces(f1)
                     f2, (e_rest, terms) = rest_fg(x, box, couple)
@@ -293,6 +293,8 @@ class MdSim:
                     terms["energy_potential"] = e_tot
                     terms["energy_potential_nonbonded"] = (
                         terms["energy_potential_nonbonded"] + e_lj + e_c)
+                    terms["cell_overflow"] = (
+                        terms.get("cell_overflow", 0) + ovf_d)
                     return f1 + f2, (e_tot, terms)
 
                 self._force_nbr = force_nbr
@@ -400,10 +402,11 @@ class MdSim:
         sa = inv = None
         f = None
         energies = []
-        ovf_max = 0
+        ovf_all = []
         for i in range(n_steps):
             if i % k_rebuild == 0:
                 sa, inv, ovf = rebuild_jit(x, box)
+                ovf_all.append(ovf)
                 f = first_force(x, box, couple, sa, inv)
             x, v, f, e, key = one(x, v, f, key, box, couple, sa, inv)
             if record_energy:
@@ -411,7 +414,9 @@ class MdSim:
             if i % 64 == 63:
                 jax.block_until_ready(x)   # keep dispatch queue shallow
         jax.block_until_ready(x)
-        ovf_max = int(ovf)
+        # max over ALL rebuilds in this chunk, not just the last one — a
+        # transient mid-run overflow silently drops pairs (advisor finding)
+        ovf_max = int(jnp.max(jnp.stack(ovf_all)))
         if self.cfg.zero_com_drift:
             v = jax.jit(lambda v: remove_com_drift(
                 v, self.top.masses, self.top.dof_mask))(v)
@@ -475,16 +480,24 @@ class MdSim:
                     x, v, f, key, box = carry
                     x, v, f, e, terms, key = one_step(
                         x, v, f, box, couple, key)
-                    if baro is not None:
-                        from .barostat import berendsen_scale
-                        x, box = berendsen_scale(
-                            x, box, v, masses, dof_mask, terms, f,
-                            baro.pressure_target, baro.tau, dt)
                     out = (e,) if record_energy else ()
                     return (x, v, f, key, box), out
 
                 (x, v, f, key, box), outs = jax.lax.scan(
                     body, (x, v, f0, key, box), None, length=k_steps)
+                if baro is not None:
+                    # chunk-boundary weak coupling with the EXACT scaling
+                    # virial (see md/barostat.py); tau >> k_steps * dt so
+                    # the coupling integral is unchanged
+                    from .barostat import berendsen_scale_chunk
+                    e_scalar = lambda x_, b_, c_: force_fn(x_, b_, c_)[1][0]
+                    x, box, _p = berendsen_scale_chunk(
+                        e_scalar, x, v=v, box=box, masses=masses,
+                        dof_mask=dof_mask, couple=couple,
+                        pressure_target_bar=baro.pressure_target,
+                        tau_ps=baro.tau, dt_eff_ps=dt * k_steps)
+                    if self._cp is not None:
+                        x = self._cp(x, x)
                 return x, v, key, box, (outs[0] if record_energy else None)
 
             return inner
@@ -649,7 +662,7 @@ class MdSim:
 
 
 def compute_energy_snapshot(top: Topology, cfg: MdConfig, x, box_extent=None,
-                            method=None):
+                            method=None, couple=1.0):
     """Single-point energy with per-term breakdown (reference
     compute_energy_snapshot, src/md/mod.rs:1036)."""
     sim_method = method or select_method(box_extent, x.shape[0], cfg)
@@ -665,5 +678,5 @@ def compute_energy_snapshot(top: Topology, cfg: MdConfig, x, box_extent=None,
     dtype = jnp.dtype(cfg.dtype)
     box = None if box_extent is None else jnp.asarray(box_extent, dtype)
     e, terms = jax.jit(e_fn)(jnp.asarray(x, dtype), box,
-                             jnp.asarray(1.0, dtype))
+                             jnp.asarray(couple, dtype))
     return {k: float(v) for k, v in terms.items()}

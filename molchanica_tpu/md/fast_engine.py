@@ -64,6 +64,7 @@ class FastState:
     dihedral_idx: jnp.ndarray
     excl_idx: jnp.ndarray
     p14_idx: jnp.ndarray
+    intra_idx: jnp.ndarray   # [P, 2] coupled-molecule internal pairs
     vsite_idx: jnp.ndarray   # [V, 4]
     widx: jnp.ndarray        # [NW, 3] water (O, H1, H2)
     hc_idx: jnp.ndarray      # [C, 4] heavy + 3 H (clipped; mask separate)
@@ -195,6 +196,11 @@ class FastSim:
         # kernel instances
         has_alch = bool(np.asarray(top.couple_mask).sum() > 0)
         self._has_alch = has_alch
+        # couple-intramol=no compensation pairs (see ops/nonbonded.py)
+        from ..ops.nonbonded import intramol_pairs_np
+        _im_idx, _im_mask = intramol_pairs_np(top)
+        self._im_idx_base = jnp.asarray(_im_idx)
+        self._im_mask = jnp.asarray(_im_mask)
         interpret = jax.default_backend() == "cpu"   # tests / CPU mesh
         self._direct = make_colpair_direct_fn(
             self.plan, has_alch=has_alch, want_energy=True,
@@ -237,7 +243,8 @@ class FastSim:
             nw=jnp.zeros((self.plan.n_clusters,), jnp.int32),
             bond_idx=top.bond_idx, angle_idx=top.angle_idx,
             dihedral_idx=top.dihedral_idx, excl_idx=top.excl_idx,
-            p14_idx=top.pair14_idx, vsite_idx=self._vs_base,
+            p14_idx=top.pair14_idx, intra_idx=self._im_idx_base,
+            vsite_idx=self._vs_base,
             widx=self._widx_base, hc_idx=self._hc_idx_base,
             rng_key=key,
             box=jnp.asarray(box_np, jnp.float32),
@@ -264,7 +271,12 @@ class FastSim:
     def _rebuild(self, st: FastState) -> FastState:
         """Re-sort by column, regather, remap indices, rebuild windows."""
         S = self.S
-        x = st.x - st.box * jnp.floor(st.x / st.box)      # per-atom wrap
+        # virtual sites (dof 0) are never moved by the integrator/minimizer
+        # — refresh them from their parents BEFORE sorting, or the M charge
+        # carriers get binned at stale positions and their interactions are
+        # planned (and reported) wrong
+        x = self._apply_vsites(st.x, st.vsite_idx, st.box)
+        x = x - st.box * jnp.floor(x / st.box)            # per-atom wrap
         mask = st.props[:, 4]
         perm2, keys, col_start, ovf1 = self._sort_S(x, st.box, mask)
         # compose: new slot -> base id
@@ -297,6 +309,7 @@ class FastSim:
             bond_idx=remap(st.bond_idx), angle_idx=remap(st.angle_idx),
             dihedral_idx=remap(st.dihedral_idx),
             excl_idx=remap(st.excl_idx), p14_idx=remap(st.p14_idx),
+            intra_idx=remap(st.intra_idx),
             vsite_idx=remap(st.vsite_idx), widx=remap(st.widx),
             hc_idx=remap(st.hc_idx),
             overflow=st.overflow + ovf1 + ovf2,
@@ -407,18 +420,37 @@ class FastSim:
                 e_corr = -COULOMB_CONST * jnp.sum(
                     self.top.excl_mask * cpl_x * q_plain[ee_i]
                     * q_plain[ee_j] * jax.scipy.special.erf(beta * rr) / rr)
-                # 1-4 pairs likewise get full erf subtraction (their PME
+                # 1-4 pairs likewise get erf subtraction (their PME
                 # direct+recip contribution must reduce to scaled plain
-                # Coulomb): subtract erf for them too
+                # Coulomb). The factor is the PRODUCT of the per-atom
+                # charge-scaling factors — what the reciprocal sum actually
+                # applied — so the subtraction is exact at every couple.
                 dd4 = minimum_image(xv[i] - xv[j], box)
                 r24 = jnp.maximum(jnp.sum(dd4 * dd4, -1), 1e-4)
                 rr4 = jnp.sqrt(r24)
+                cpl_x4 = (1.0 - cm[i] * (1.0 - couple)) \
+                    * (1.0 - cm[j] * (1.0 - couple))
                 e_corr4 = -COULOMB_CONST * jnp.sum(
-                    pm * cpl14 * q_plain[i] * q_plain[j]
+                    pm * cpl_x4 * q_plain[i] * q_plain[j]
                     * jax.scipy.special.erf(beta * rr4) / rr4)
+                # couple-intramol=no: restore coupled-molecule internal
+                # non-excluded pairs (recip scaled them by couple^2) to
+                # full strength (see ops/nonbonded.py intramol_pairs_np)
+                e_comp = jnp.zeros((), jnp.float32)
+                if self._has_alch:
+                    mi_ = st.intra_idx[:, 0]
+                    mj_ = st.intra_idx[:, 1]
+                    ddm = minimum_image(xv[mi_] - xv[mj_], box)
+                    rrm = jnp.sqrt(
+                        jnp.maximum(jnp.sum(ddm * ddm, -1), 1e-4))
+                    e_comp = COULOMB_CONST * (1.0 - couple * couple) \
+                        * jnp.sum(self._im_mask * q_plain[mi_]
+                                  * q_plain[mj_]
+                                  * jax.scipy.special.erf(beta * rrm)
+                                  / rrm)
                 e_rest = (e_bonded - el_x - ec_x - el_4 - ec_4
                           + e14_lj + e14_c + e_recip + e_self
-                          + e_corr + e_corr4)
+                          + e_corr + e_corr4 + e_comp)
                 terms = dict(bond=eb, angle=ea, dihedral=ed,
                              recip=e_recip,
                              energy_potential_bonded=e_bonded)
@@ -575,6 +607,41 @@ class FastSim:
         return fn
 
     # ------------------------------------------------------------------
+    def minimize(self, n_iters: int = 400, max_disp: float = 0.02):
+        """Clash relaxation: capped-displacement steepest descent with the
+        constraint projection after every move (the FastSim analog of the
+        reference's init relaxation, src/md/mod.rs max_init_relaxation_iters).
+        """
+        k_reb = self.cfg.neighbor_rebuild_every
+        cp, _ = self._make_cp_cv()
+        force = self._make_force_fn(None)
+
+        def chunk(st: FastState):
+            st = self._rebuild(st)
+
+            def body(x, _):
+                f, (e, _t) = force(x, st)
+                norm = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True))
+                step_v = f * (max_disp / jnp.maximum(norm, 1e-9))
+                step_v = jnp.where(norm > 1e-9, step_v, 0.0)
+                x_new = x + step_v * (st.dof[:, None] > 0)
+                if cp is not None:
+                    x_new = cp(x_new, x, st)
+                return x_new, e
+
+            x, es = jax.lax.scan(body, st.x, None, length=k_reb)
+            return st.replace(x=x), es[-1]
+
+        fn = jax.jit(chunk)
+        done = 0
+        e = None
+        while done < n_iters:
+            self.state, e = fn(self.state)
+            done += k_reb
+        # zero velocities of constrained dofs drifting during the quench
+        return float(e)
+
+    # ------------------------------------------------------------------
     def step(self, dt_ps: float, n_steps: int = 1, record_energy=False,
              force_cap=None):
         t0 = time.perf_counter()
@@ -613,11 +680,16 @@ class FastSim:
 
     # ------------------------------------------------------------------
     def positions_unsorted(self):
-        """Positions in original (base) order [n_base, 3]."""
+        """Positions in original (base) order [n_base, 3], with virtual
+        sites refreshed from their parents (st.x stores them stale)."""
         st = self.state
-        out = jnp.zeros((self.n_base + 1, 3), jnp.float32)
-        out = out.at[st.perm].set(st.x)
-        return np.asarray(out[: self.n_base])
+        if not hasattr(self, "_unsort_fn"):
+            def unsort(st):
+                x = self._apply_vsites(st.x, st.vsite_idx, st.box)
+                out = jnp.zeros((self.n_base + 1, 3), jnp.float32)
+                return out.at[st.perm].set(x)
+            self._unsort_fn = jax.jit(unsort)
+        return np.asarray(self._unsort_fn(st)[: self.n_base])
 
     def velocities_unsorted(self):
         st = self.state

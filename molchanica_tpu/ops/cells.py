@@ -226,7 +226,7 @@ def make_xla_direct_force_fn(top: Topology, cfg, box_extent, x0=None):
         f_flat = (f4.reshape(-1, 3) * vmask.reshape(-1)[:, None])
         f_atoms = jnp.zeros((n, 3), dtype).at[gi.reshape(-1)].add(f_flat)
         f_atoms = f_atoms * top.atom_mask[:, None]
-        return f_atoms, 0.5 * e_lj, 0.5 * e_c
+        return f_atoms, 0.5 * e_lj, 0.5 * e_c, overflow
 
     return direct
 

@@ -258,6 +258,7 @@ def make_cluster_direct_force_fn(top: Topology, cfg, plan: ClusterPlan):
         f_atoms = f_atoms * top.atom_mask[:, None]
         # pair list includes (i,j) and (j,i): energies double-counted; the
         # self-cluster pair (i==i) tile counts each pair twice as well
-        return f_atoms, 0.5 * e_lj, 0.5 * e_c
+        # overflow is detected at rebuild time (make_cluster_rebuild_fn)
+        return f_atoms, 0.5 * e_lj, 0.5 * e_c, jnp.zeros((), jnp.int32)
 
     return direct

@@ -194,6 +194,12 @@ def ewald_exclusion_correction(x, box, top, couple_strength, ewald_beta):
     the smooth erf part removed (1-4 Coulomb is then re-added at 1/scee by
     pairlist_energy with ewald_beta=None ... handled by the caller in
     md/energy.py).
+
+    The alchemical factor is the PRODUCT of the per-atom charge-scaling
+    factors (1 - cm_i (1-c)) (1 - cm_j (1-c)) — exactly what the PME
+    reciprocal sum applied to this pair via its scaled per-atom charges —
+    so intramolecular excluded pairs cancel identically at every couple
+    value (GROMACS couple-intramol=no semantics).
     """
     def erf_part(idx, mask):
         i, j = idx[:, 0], idx[:, 1]
@@ -201,10 +207,64 @@ def ewald_exclusion_correction(x, box, top, couple_strength, ewald_beta):
         r = jnp.sqrt(jnp.maximum(jnp.sum(dx * dx, axis=-1), 1e-4))
         qq = top.charges[i] * top.charges[j]
         cm = top.couple_mask
-        is_alch = cm[i] + cm[j] - 2.0 * cm[i] * cm[j]
-        couple = 1.0 - is_alch * (1.0 - couple_strength)
+        couple = (1.0 - cm[i] * (1.0 - couple_strength)) \
+            * (1.0 - cm[j] * (1.0 - couple_strength))
         e = COULOMB_CONST * qq * couple * jax.lax.erf(ewald_beta * r) / r
         return jnp.sum(e * mask)
 
     return -(erf_part(top.excl_idx, top.excl_mask)
              + erf_part(top.pair14_idx, top.pair14_mask))
+
+
+def intramol_pairs_np(top, max_coupled: int = 2048):
+    """Host-side: non-excluded, non-1-4 pairs internal to the coupled
+    molecule, as an int32 [P, 2] array (P >= 1; padded with (0, 0) mask 0).
+
+    Used for the couple-intramol=no compensation term: these pairs appear in
+    the PME reciprocal sum with couple^2-scaled charges but must stay at
+    FULL strength at every lambda (the reference's decoupling convention,
+    /root/reference/src/md/prep.rs lambda docs; GROMACS couple-intramol=no).
+    """
+    import numpy as np
+
+    cm = np.asarray(top.couple_mask) * np.asarray(top.atom_mask)
+    coupled = np.where(cm > 0)[0]
+    if coupled.size == 0:
+        return (np.zeros((1, 2), np.int32), np.zeros((1,), np.float32))
+    if coupled.size > max_coupled:
+        raise ValueError(
+            f"coupled molecule too large ({coupled.size} atoms) for the "
+            "intramolecular compensation pair list")
+    skip = set()
+    for idx, m in ((np.asarray(top.excl_idx), np.asarray(top.excl_mask)),
+                   (np.asarray(top.pair14_idx), np.asarray(top.pair14_mask))):
+        for (a, b), mm in zip(idx, m):
+            if mm > 0:
+                skip.add((min(int(a), int(b)), max(int(a), int(b))))
+    pairs = []
+    for ai in range(coupled.size):
+        for bi in range(ai + 1, coupled.size):
+            a, b = int(coupled[ai]), int(coupled[bi])
+            if (a, b) not in skip:
+                pairs.append((a, b))
+    if not pairs:
+        return (np.zeros((1, 2), np.int32), np.zeros((1,), np.float32))
+    return (np.asarray(pairs, np.int32),
+            np.ones((len(pairs),), np.float32))
+
+
+def intramol_recip_compensation(x, box, top, idx, mask, couple_strength,
+                                ewald_beta):
+    """+k qq erf(beta r)/r (1 - c^2) over intramolecular non-excluded pairs.
+
+    Restores these pairs to full strength: direct space already treats them
+    at full strength (both atoms coupled => pair factor 1), but the
+    reciprocal sum scaled them by c^2.
+    """
+    i, j = idx[:, 0], idx[:, 1]
+    dx = displacement(x[i], x[j], box)
+    r = jnp.sqrt(jnp.maximum(jnp.sum(dx * dx, axis=-1), 1e-4))
+    qq = top.charges[i] * top.charges[j]
+    c2 = couple_strength * couple_strength
+    e = COULOMB_CONST * qq * jax.lax.erf(ewald_beta * r) / r * (1.0 - c2)
+    return jnp.sum(e * mask)

@@ -398,6 +398,7 @@ def make_pallas_direct_fn(top: Topology, cfg, plan: WindowPlan,
         e_col = f_cells[:, 3].reshape(n_cells, cap)
         e_lj = jnp.sum(e_col[:, 0])
         e_c = jnp.sum(e_col[:, 1])
-        return f_atoms, e_lj, e_c
+        # overflow is detected at rebuild time (make_rebuild_fn)
+        return f_atoms, e_lj, e_c, jnp.zeros((), jnp.int32)
 
     return direct

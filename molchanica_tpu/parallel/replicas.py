@@ -71,39 +71,53 @@ class ReplicaFarm:
             force_nbr = sim._force_nbr
 
             def replica_step(x, v, key, couple):
-                sa, inv, _ = rebuild(x, self.box)
+                sa, inv, ovf = rebuild(x, self.box)
                 force = lambda x_, b_, c_: force_nbr(x_, b_, c_, sa, inv)
                 one = sim._make_one_step(dt, force)
                 f0, _ = force(x, self.box, couple)
                 x, v, f, e, terms, key = one(x, v, f0, self.box, couple, key)
                 dhdl = sim.dhdl_fn(x, self.box, couple)
-                return x, v, key, e, dhdl
+                ovf = ovf + terms.get("cell_overflow", 0)
+                return x, v, key, e, dhdl, ovf
         else:
             def replica_step(x, v, key, couple):
                 one = sim._make_one_step(dt, sim.force_fn)
                 f0, _ = sim.force_fn(x, self.box, couple)
                 x, v, f, e, terms, key = one(x, v, f0, self.box, couple, key)
                 dhdl = sim.dhdl_fn(x, self.box, couple)
-                return x, v, key, e, dhdl
+                ovf = jnp.asarray(terms.get("cell_overflow", 0), jnp.int32)
+                return x, v, key, e, dhdl, ovf
 
         fn = jax.jit(jax.vmap(replica_step))
         self._step_cache[dt] = fn
         return fn
 
     def step(self, dt_ps: float, n_steps: int = 1, record_dhdl=False):
-        """Advance every replica n_steps (host loop; one batched program)."""
+        """Advance every replica n_steps (host loop; one batched program).
+
+        Raises on neighbor-structure overflow in ANY replica: silently
+        dropped pairs would corrupt forces and dH/dlambda with no other
+        symptom (round-1 advisor finding)."""
         fn = self._get_batched_step(float(dt_ps))
+        ovf_acc = 0
         for i in range(n_steps):
-            self.x, self.v, self.keys, e, dhdl = fn(
+            self.x, self.v, self.keys, e, dhdl, ovf = fn(
                 self.x, self.v, self.keys, self.couples)
             if record_dhdl:
                 d = np.asarray(dhdl)
                 for r in range(self.n):
                     self.dhdl_trace[r].append(float(d[r]))
+                ovf_acc = max(ovf_acc, int(np.max(np.asarray(ovf))))
             elif i % 64 == 63:
-                jax.block_until_ready(self.x)
+                ovf_acc = max(ovf_acc, int(np.max(np.asarray(ovf))))
+        ovf_acc = max(ovf_acc, int(np.max(np.asarray(ovf))))
         jax.block_until_ready(self.x)
         self.step_count += n_steps
+        if ovf_acc > 0:
+            raise RuntimeError(
+                f"ReplicaFarm neighbor overflow ({ovf_acc}): cell/cluster "
+                "capacity exceeded in at least one replica — rebuild the "
+                "farm with a larger capacity margin")
         return np.asarray(e)
 
     def windows(self):

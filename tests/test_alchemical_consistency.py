@@ -1,0 +1,100 @@
+"""Lambda-path self-consistency under PME (couple-intramol=no).
+
+Regression for the round-1 advisor finding: the PME reciprocal sum scales
+per-atom charges (intramolecular pairs go as couple^2) while direct space
+treats both-coupled pairs at full strength. The erf exclusion correction
+must therefore subtract with the PRODUCT of per-atom factors, and
+non-excluded intramolecular pairs need a (1 - couple^2) erf compensation,
+so the molecule's internal electrostatics are EXACTLY couple-independent
+(GROMACS couple-intramol=no; the reference decouples solute-solvent only,
+/root/reference/src/properties/water_sol.rs lambda docs).
+"""
+import numpy as np
+import pytest
+
+from molchanica_tpu.md.config import Integrator, MdConfig
+from molchanica_tpu.md.engine import MdSim, compute_energy_snapshot
+from molchanica_tpu.molecules.spec import MolSpec, assemble_system
+
+
+def _dipole_system(box=26.0, with_water=False):
+    # 3-atom bent "ligand": a bonded (excluded) +q/-q pair plus a third
+    # charged atom at 1-3 (also excluded via the angle)
+    solute = MolSpec(
+        masses=[15.0, 12.0, 15.0],
+        charges=[-0.5, 0.1, 0.4],
+        lj_sigma=[3.2, 3.4, 3.2],
+        lj_eps=[0.2, 0.1, 0.2],
+        positions=np.array([[0.0, 0.0, 0.0],
+                            [1.4, 0.0, 0.0],
+                            [2.1, 1.2, 0.0]]) + box / 2.0,
+        bonds=[(0, 1, 300.0, 1.4), (1, 2, 300.0, 1.4)],
+        angles=[(0, 1, 2, 60.0, 2.0)],
+    )
+    from molchanica_tpu.systems.water import OPC
+    return assemble_system(
+        [solute], box_extent=np.array([box] * 3),
+        water_model=OPC if with_water else None,
+        n_waters=280 if with_water else None,
+        alchemical_mol=0, relieve_clashes=False, seed=1)
+
+
+@pytest.mark.parametrize("couple", [0.0, 0.31, 0.72])
+def test_isolated_molecule_energy_couple_independent(couple):
+    """With no solvent, decoupling must not change the total energy:
+    every nonbonded interaction is intramolecular (or a periodic image,
+    which is negligible in a 26 A box)."""
+    asys = _dipole_system()
+    cfg = MdConfig(integrator=Integrator.verlet_velocity(),
+                   temp_target=300.0, lj_cutoff=8.0, coulomb_cutoff=8.0,
+                   dtype="float64", max_init_relaxation_iters=None, seed=1)
+    snap1 = compute_energy_snapshot(asys.topology, cfg, asys.positions,
+                                    box_extent=asys.box_extent,
+                                    method="cells_pme", couple=1.0)
+    snapc = compute_energy_snapshot(asys.topology, cfg, asys.positions,
+                                    box_extent=asys.box_extent,
+                                    method="cells_pme", couple=couple)
+    e1 = snap1["energy_potential"]
+    ec = snapc["energy_potential"]
+    # The only legitimate couple-dependence is the molecule's interaction
+    # with its own periodic images (~ k mu^2 / L^3 ~ 0.07 kcal/mol here),
+    # which scales as couple^2. The old pair-form bug left ~+30 kcal/mol of
+    # spurious excluded-pair Coulomb at couple=0.
+    assert abs(e1 - ec) < 0.01 + 0.15 * (1.0 - couple * couple), (e1, ec)
+
+
+def test_dhdl_zero_for_isolated_molecule():
+    """dH/dlambda of an isolated molecule must vanish (nothing to
+    decouple from)."""
+    import jax
+
+    asys = _dipole_system()
+    cfg = MdConfig(integrator=Integrator.verlet_velocity(),
+                   temp_target=300.0, lj_cutoff=8.0, coulomb_cutoff=8.0,
+                   dtype="float64", max_init_relaxation_iters=None, seed=1)
+    sim = MdSim(asys.topology, cfg, asys.positions,
+                box_extent=asys.box_extent, method="cells_pme")
+    sim.configure_alchemical_window(0.5)
+    sim.step(0.001, 2)
+    # residual dH/dl = 2 c E_image ~ 0.07 kcal/mol: the molecule's coupling
+    # to its own periodic images (physical under per-atom charge scaling)
+    assert abs(float(sim.state.dhdl_last)) < 0.12
+
+
+def test_solvated_dhdl_finite_and_couple_dependent():
+    """With solvent present the solute-solvent term remains: dH/dlambda
+    is finite and the total energy DOES change with couple."""
+    asys = _dipole_system(with_water=True)
+    cfg = MdConfig(integrator=Integrator.verlet_velocity(),
+                   temp_target=300.0, lj_cutoff=8.0, coulomb_cutoff=8.0,
+                   dtype="float64", max_init_relaxation_iters=None, seed=1)
+    s1 = compute_energy_snapshot(asys.topology, cfg, asys.positions,
+                                 box_extent=asys.box_extent,
+                                 method="cells_pme", couple=1.0)
+    s0 = compute_energy_snapshot(asys.topology, cfg, asys.positions,
+                                 box_extent=asys.box_extent,
+                                 method="cells_pme", couple=0.0)
+    e1 = s1["energy_potential"]
+    e0 = s0["energy_potential"]
+    assert np.isfinite(e1) and np.isfinite(e0)
+    assert abs(e1 - e0) > 0.5   # real solute-solvent interaction removed

@@ -43,7 +43,7 @@ def test_clusters_match_window(system):
     c1 = jnp.asarray(1.0)
 
     win = make_xla_direct_force_fn(top, cfg, box, x0=x)
-    fw, elj_w, ec_w = jax.jit(lambda x_: win(x_, bj, c1, beta))(xj)
+    fw, elj_w, ec_w, _ = jax.jit(lambda x_: win(x_, bj, c1, beta))(xj)
 
     plan = plan_clusters(box, 8.0, top.n_atoms_real, top.n_atoms)
     rebuild = make_cluster_rebuild_fn(plan, top)
@@ -51,7 +51,7 @@ def test_clusters_match_window(system):
     assert int(ovf) == 0
     clus = make_cluster_direct_force_fn(top, cfg, plan)
     fc, elj_c, ec_c = jax.jit(
-        lambda x_, o_, n_: clus(x_, bj, c1, beta, o_, n_))(xj, order, nbr)
+        lambda x_, o_, n_: clus(x_, bj, c1, beta, o_, n_)[:3])(xj, order, nbr)
 
     np.testing.assert_allclose(float(elj_c), float(elj_w), rtol=1e-8)
     np.testing.assert_allclose(float(ec_c), float(ec_w), rtol=1e-8)
@@ -75,8 +75,8 @@ def test_cluster_list_skin_survives_motion(system):
     x2 = x + rng.normal(0, 0.08, x.shape).clip(-0.25, 0.25)
     x2j = jnp.asarray(x2)
     _, elj_stale, ec_stale = jax.jit(
-        lambda x_, o_, n_: clus(x_, bj, c1, beta, o_, n_))(x2j, order, nbr)
+        lambda x_, o_, n_: clus(x_, bj, c1, beta, o_, n_)[:3])(x2j, order, nbr)
     win = make_xla_direct_force_fn(top, cfg, box, x0=x2)
-    _, elj_ref, ec_ref = jax.jit(lambda x_: win(x_, bj, c1, beta))(x2j)
+    _, elj_ref, ec_ref, _ = jax.jit(lambda x_: win(x_, bj, c1, beta))(x2j)
     np.testing.assert_allclose(float(elj_stale), float(elj_ref), rtol=1e-7)
     np.testing.assert_allclose(float(ec_stale), float(ec_ref), rtol=1e-7)

@@ -45,7 +45,7 @@ def test_kernel_matches_dense(system):
     assert int(ovf) == 0
     pdir = DF.make_pallas_direct_fn(top, cfg, plan, interpret=True)
     beta = 0.35
-    F, elj, ec = pdir(xj, bj, jnp.asarray(1.0, jnp.float32), beta, sa, inv)
+    F, elj, ec, _ = pdir(xj, bj, jnp.asarray(1.0, jnp.float32), beta, sa, inv)
 
     pos = x[:n].astype(np.float64)
     d = pos[:, None, :] - pos[None, :, :]
@@ -90,10 +90,10 @@ def test_kernel_wrapped_positions(system):
     bj = jnp.asarray(box, jnp.float32)
     c1 = jnp.asarray(1.0, jnp.float32)
     sa, inv, _ = jax.jit(rebuild)(jnp.asarray(x), bj)
-    _, e0, c0 = pdir(jnp.asarray(x), bj, c1, 0.35, sa, inv)
+    _, e0, c0, _ = pdir(jnp.asarray(x), bj, c1, 0.35, sa, inv)
     x2 = x.copy()
     x2[:n] += box * np.array([1.0, -2.0, 3.0])  # whole-box translations
     sa2, inv2, _ = jax.jit(rebuild)(jnp.asarray(x2), bj)
-    _, e1, c1_ = pdir(jnp.asarray(x2), bj, c1, 0.35, sa2, inv2)
+    _, e1, c1_, _ = pdir(jnp.asarray(x2), bj, c1, 0.35, sa2, inv2)
     np.testing.assert_allclose(float(e0), float(e1), rtol=1e-5)
     np.testing.assert_allclose(float(c0), float(c1_), rtol=1e-5)
