@@ -87,11 +87,23 @@ def make_integrator_step(
             f = f * jnp.minimum(1.0, force_cap / jnp.maximum(norm, 1e-9))
         return f, e, terms
 
+    # Constrained drift: SHAKE-style projection PLUS the velocity update
+    # implied by the constraint displacement, v += (x_c - x_u)/h. Without
+    # the velocity feedback the projection silently destroys the kinetic
+    # energy that pushed into the constraint each step, and thermostatted
+    # constrained systems equilibrate far below the target temperature
+    # (observed: rigid OPC water at ~170 K for a 310 K target).
+    def drift(x, v, h):
+        xu = x + h * v * dm
+        xc = cp(xu, x)
+        v = v + (xc - xu) / h
+        return xc, v
+
     if kind == "verlet_velocity":
         def one_step(x, v, f, box, couple, key):
             a = _accel(f, masses, dof_mask)
             v_half = v + 0.5 * dt * a
-            x_new = cp(x + dt * v_half * dm, x)
+            x_new, v_half = drift(x, v_half, dt)
             f_new, e, terms = eval_forces(x_new, box, couple)
             a_new = _accel(f_new, masses, dof_mask)
             v_new = v_half + 0.5 * dt * a_new
@@ -113,19 +125,21 @@ def make_integrator_step(
                 v_new = csvr_rescale(sub, v_new, masses, dof_mask,
                                      temp_target, dt, thermostat_tau,
                                      n_constraints)
-            x_new = cp(x + dt * v_new * dm, x)
+            x_new, v_new = drift(x, v_new, dt)
             v_new = cv(v_new, x_new)
             f_new, e, terms = eval_forces(x_new, box, couple)
             return x_new, v_new, f_new, e, terms, key
 
     elif kind == "langevin_middle":
-        # BAOAB splitting (OpenMM LangevinMiddle): B A O A, constraints after
-        # each position half-drift.
+        # BAOAB splitting (OpenMM LangevinMiddle): B A O A, with the
+        # constraint impulse fed back into velocities after each half-drift
+        # (g-BAOAB-style) and RATTLE projection around the O step.
         c1 = jnp.exp(-gamma * dt)
         def one_step(x, v, f, box, couple, key):
             a = _accel(f, masses, dof_mask)
             v1 = v + dt * a                                     # B
-            x1 = cp(x + 0.5 * dt * v1 * dm, x)                  # A
+            x1, v1 = drift(x, v1, 0.5 * dt)                     # A
+            v1 = cv(v1, x1)
             key, sub = jax.random.split(key)
             sigma = jnp.sqrt(
                 KB * temp_target * ACCEL_FACTOR
@@ -134,7 +148,7 @@ def make_integrator_step(
             noise = jax.random.normal(sub, v.shape, v.dtype) * sigma
             v2 = (c1 * v1 + noise) * dm                         # O
             v2 = cv(v2, x1)
-            x2 = cp(x1 + 0.5 * dt * v2 * dm, x1)                # A
+            x2, v2 = drift(x1, v2, 0.5 * dt)                    # A
             v2 = cv(v2, x2)
             f_new, e, terms = eval_forces(x2, box, couple)
             return x2, v2, f_new, e, terms, key

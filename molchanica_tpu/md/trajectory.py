@@ -62,6 +62,13 @@ class Trajectory:
             from ..io.dcd import read_dcd
             frames, cells = read_dcd(path)
             self._file_meta = ("dcd", frames, cells)
+        elif p.endswith(".trr"):
+            from ..io.trr import read_trr
+            trr = read_trr(path)
+            frames = [f.positions for f in trr]
+            cells = [f.box_extent for f in trr]
+            self._trr_times = np.asarray([f.time_ps for f in trr])
+            self._file_meta = ("trr", frames, cells)
         elif p.endswith(".gro"):
             self._file_meta = ("gro", None, None)
         else:
@@ -71,7 +78,7 @@ class Trajectory:
     def n_frames(self) -> int:
         if self.snapshots:
             return len(self.snapshots)
-        if self._file_meta and self._file_meta[0] == "dcd":
+        if self._file_meta and self._file_meta[0] in ("dcd", "trr"):
             return len(self._file_meta[1])
         if self._file_meta and self._file_meta[0] == "gro":
             return sum(1 for line in open(self.path)
@@ -81,6 +88,8 @@ class Trajectory:
     def times(self) -> np.ndarray:
         if self.snapshots:
             return np.asarray([s.time for s in self.snapshots])
+        if getattr(self, "_trr_times", None) is not None:
+            return self._trr_times
         return np.arange(self.n_frames) * self._dt * self._interval
 
     def load_snaps(self, frame_slice: Optional[FrameSlice] = None
@@ -90,7 +99,7 @@ class Trajectory:
         if self.snapshots:
             idx = fs.select(self.times())
             return [self.snapshots[i] for i in idx]
-        if self._file_meta and self._file_meta[0] == "dcd":
+        if self._file_meta and self._file_meta[0] in ("dcd", "trr"):
             _, frames, cells = self._file_meta
             times = self.times()
             idx = fs.select(times)
@@ -112,6 +121,19 @@ class Trajectory:
             box = self.snapshots[0].box_extent
         write_dcd(path, frames, box_extent=box, dt_ps=self._dt,
                   save_interval=self._interval)
+        return path
+
+    def save_trr(self, path, box_extent=None):
+        """GROMACS TRR (so reference-side tooling can play our output)."""
+        from ..io.trr import TrrFrame, write_trr
+        frames = []
+        for s in self.snapshots:
+            box = s.box_extent if s.box_extent is not None else box_extent
+            frames.append(TrrFrame(
+                step=int(round(s.time / max(self._dt, 1e-12))),
+                time_ps=float(s.time), box_extent=box,
+                positions=self._frame_coords(s), velocities=None))
+        write_trr(frames, path)
         return path
 
     def save_gro(self, path, elements, box_extent=None):

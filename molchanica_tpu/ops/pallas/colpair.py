@@ -44,7 +44,7 @@ from ...constants import COULOMB_CONST
 
 ICL = 64          # atoms per i-cluster (one grid program)
 ZBITS = 14        # z quantization bits in the sort key
-W_MAX = 48        # max window entries per cluster
+W_MAX = 80        # max window entries per cluster
 _TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
 
 # r^2 floor (A^2): pairs closer than this (only possible mid-clash during
@@ -121,9 +121,9 @@ def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
     assert nx >= 3 and ny >= 3 and box[2] >= 2 * rcw - 1e-9, \
         f"box {box} too small for colpair at cutoff {cutoff}"
     n_cols = nx * ny
-    # capacity: real atoms + per-column pad-to-16 + headroom for density
-    # fluctuation between replans
-    cap = n_atoms_real + ICL * n_cols + max(ICL * n_cols, n_atoms_real // 8)
+    # capacity: real atoms + per-column pad-to-ICL (the padded total can
+    # never exceed this by construction: sum(ceil(c_i/ICL)*ICL) <= n + ICL*n_cols)
+    cap = n_atoms_real + ICL * n_cols
     n_sorted = ((cap + 127) // 128) * 128
     # r2 is clamped to [R2_MIN, rc^2] before the erfc evaluation (out-of-range
     # pairs are masked afterwards), so the fit domain is exactly [0, beta*rc].
@@ -295,8 +295,8 @@ def make_window_fn(plan: ColPlan):
                 s0 = lo // 128
                 s1 = (hi + 127) // 128
                 n_sl = jnp.where(ok & (hi > lo), s1 - s0, 0)
-                slice_ovf.append(jnp.max(jnp.maximum(n_sl - 6, 0)))
-                for s in range(6):
+                slice_ovf.append(jnp.max(jnp.maximum(n_sl - 8, 0)))
+                for s in range(8):
                     sid = s0 + s
                     lo_lane = jnp.clip(lo - sid * 128, 0, 128)
                     hi_lane = jnp.clip(hi - sid * 128, 0, 128)
