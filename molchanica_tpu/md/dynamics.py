@@ -180,8 +180,17 @@ def build_dynamics(
     elif cfg.solvent.kind == "water_tip3p":
         wm = TIP3P
     elif cfg.solvent.kind == "octanol_with_water":
-        raise NotImplementedError(
-            "octanol solvent packing lands with properties/logp")
+        # wet octanol: grid-packed octanol molecules + water fill
+        # (reference logp.rs:28-45; packer in systems/octanol.py)
+        from ..systems.octanol import pack_octanol_box
+        if box is None:
+            box = np.array([30.0] * 3)
+        oct_mols, n_w_oct = pack_octanol_box(
+            float(np.min(box)),
+            water_fraction=cfg.solvent.water_fraction, seed=seed)
+        specs = specs + oct_mols
+        wm = OPC
+        n_w = n_w_oct
     return _finish_build(specs, box, cfg, wm, n_w, seed, external_forces_fn)
 
 
