@@ -1,0 +1,82 @@
+"""Headless CLI (reference src/cli.rs surface)."""
+import os
+
+import numpy as np
+import pytest
+
+from molchanica_tpu.cli import CliError, CliState, handle_cmd
+
+
+@pytest.fixture()
+def st():
+    s = CliState()
+    handle_cmd(s, "load smiles:CC(=O)O")
+    return s
+
+
+def test_load_show(st):
+    out = handle_cmd(st, "show")
+    assert "atoms" in out
+
+
+def test_select_and_remove(st):
+    out = handle_cmd(st, "select elem O")
+    assert "2 atoms" in out
+    n0 = st.active_mol().n_atoms
+    handle_cmd(st, "remove sel")
+    assert st.active_mol().n_atoms == n0 - 2
+
+
+def test_save_load_roundtrip(st, tmp_path):
+    p = str(tmp_path / "m.sdf")
+    handle_cmd(st, f"save {p}")
+    st2 = CliState()
+    out = handle_cmd(st2, f"load {p}")
+    assert "atoms" in out
+    assert st2.active_mol().n_atoms == st.active_mol().n_atoms
+
+
+def test_characterize(st):
+    out = handle_cmd(st, "characterize")
+    assert "cLogP" in out and "TPSA" in out
+
+
+def test_energy_and_minimize(st):
+    e1 = handle_cmd(st, "energy")
+    assert "energy_potential" in e1
+    out = handle_cmd(st, "minimize 50")
+    assert "E =" in out
+
+
+def test_session_roundtrip(st, tmp_path):
+    p = str(tmp_path / "s.json")
+    handle_cmd(st, f"select elem C")
+    handle_cmd(st, f"session save {p}")
+    st2 = CliState()
+    out = handle_cmd(st2, f"session load {p}")
+    assert "1 molecules" in out
+    assert st2.active_mol().n_atoms == st.active_mol().n_atoms
+
+
+def test_errors():
+    st = CliState()
+    with pytest.raises(CliError):
+        handle_cmd(st, "energy")            # nothing loaded
+    with pytest.raises(CliError):
+        handle_cmd(st, "fetch 1abc")        # offline
+    with pytest.raises(CliError):
+        handle_cmd(st, "frobnicate")        # unknown
+
+
+def test_predict_via_cli():
+    st = CliState()
+    out = handle_cmd(st, "predict lipophilicity_astrazeneca CCO")
+    assert "lipophilicity" in out
+    float(out.split("=")[1])               # parses as a number
+
+
+def test_main_batch(tmp_path, capsys):
+    from molchanica_tpu.cli import main
+    rc = main(["load smiles:CCO", "show"])
+    assert rc == 0
+    assert "atoms" in capsys.readouterr().out
