@@ -47,6 +47,12 @@ from .settle import settle_params, settle_positions, settle_velocities
 from .state import init_velocities, kinetic_energy, remove_com_drift
 
 
+class MiscompiledStepError(RuntimeError):
+    """Non-finite energy right after a chunk: on the axon relay this is
+    almost always a nondeterministic remote-compiler miscompile — the same
+    program recompiled in a fresh process is usually fine."""
+
+
 @struct.dataclass
 class FastState:
     """Everything that changes during a run, in sorted-slot order [S]."""
@@ -663,6 +669,15 @@ class FastSim:
             raise RuntimeError(
                 f"colpair overflow ({ovf}): column capacity or window "
                 "table exceeded — replan required")
+        # The axon remote compiler NONDETERMINISTICALLY miscompiles some
+        # chunk programs (same code + state: one compile is stable, the
+        # next NaNs within 50 steps). Detect immediately so callers can
+        # retry in a fresh process instead of burning a full run.
+        if not np.isfinite(float(self.state.pe_last)) and n_steps > 0:
+            raise MiscompiledStepError(
+                "non-finite energy after step chunk — on the axon TPU "
+                "relay this is almost always a remote-compiler miscompile; "
+                "retry in a fresh process")
         return jnp.concatenate(energies) if energies else None
 
     def run(self, dt_ps: float, n_steps: int,
