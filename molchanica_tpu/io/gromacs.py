@@ -156,3 +156,87 @@ def make_gromacs_input(asys, cfg, n_steps: int, dt_ps: float,
     (out / f"{prefix}.top").write_text(make_top(asys))
     (out / f"{prefix}.mdp").write_text(make_mdp(cfg, n_steps, dt_ps))
     return out / f"{prefix}.mdp"
+
+
+# ---------------------------------------------------------------------------
+# Round trip: run grompp/mdrun and parse results back
+# (reference launch_md / on_gromacs_md_complete, src/gromacs/mod.rs:593,660).
+# Gated on a gmx binary being present (external_tools registry).
+# ---------------------------------------------------------------------------
+
+def run_gromacs_md(asys, cfg, n_steps: int, dt_ps: float, workdir,
+                   timeout: int = 1800):
+    """Write inputs, grompp, mdrun; returns GromacsRunResult.
+
+    Requires the `gmx` binary (molchanica_tpu.external_tools.probe
+    reports availability)."""
+    import os
+
+    from ..external_tools import run_tool
+
+    os.makedirs(workdir, exist_ok=True)
+    files = make_gromacs_input(asys, cfg, n_steps, dt_ps, out_dir=workdir)
+    r1 = run_tool("gromacs", [
+        "grompp", "-f", files["mdp"], "-c", files["gro"],
+        "-p", files["top"], "-o", os.path.join(workdir, "topol.tpr"),
+        "-maxwarn", "4"], cwd=workdir, timeout=timeout)
+    if r1.returncode != 0:
+        raise RuntimeError(f"grompp failed:\n{r1.stderr[-2000:]}")
+    r2 = run_tool("gromacs", [
+        "mdrun", "-deffnm", "topol", "-nt", "1"], cwd=workdir,
+        timeout=timeout)
+    if r2.returncode != 0:
+        raise RuntimeError(f"mdrun failed:\n{r2.stderr[-2000:]}")
+    log = open(os.path.join(workdir, "topol.log")).read()
+    energies = parse_gromacs_log_energies(log)
+    out_gro = os.path.join(workdir, "topol.gro")
+    return GromacsRunResult(energies=energies, log_path=os.path.join(
+        workdir, "topol.log"), structure_path=out_gro)
+
+
+class GromacsRunResult:
+    def __init__(self, energies, log_path, structure_path):
+        self.energies = energies          # list of per-report dicts
+        self.log_path = log_path
+        self.structure_path = structure_path
+
+    @property
+    def final_potential_kcal(self):
+        if not self.energies:
+            return None
+        kj = self.energies[-1].get("Potential")
+        return None if kj is None else kj / 4.184
+
+
+def parse_gromacs_log_energies(log_text: str):
+    """Parse the 'Energies (kJ/mol)' tables from an mdrun .log.
+
+    Returns a list of {term: value} dicts (chronological). The table
+    layout is two related lines: names row(s) then values row(s)."""
+    out = []
+    lines = log_text.splitlines()
+    i = 0
+    while i < len(lines):
+        if lines[i].strip().startswith("Energies (kJ/mol)"):
+            i += 1
+            terms = {}
+            while i + 1 < len(lines):
+                names_ln = lines[i]
+                vals_ln = lines[i + 1]
+                # names are fixed-width 15-char columns
+                names = [names_ln[c:c + 15].strip()
+                         for c in range(0, len(names_ln), 15)]
+                names = [n for n in names if n]
+                try:
+                    vals = [float(v) for v in vals_ln.split()]
+                except ValueError:
+                    break
+                if not names or len(vals) != len(names):
+                    break
+                terms.update(dict(zip(names, vals)))
+                i += 2
+            if terms:
+                out.append(terms)
+        else:
+            i += 1
+    return out

@@ -80,6 +80,7 @@ def assemble_system(
     neutralize: bool = False,
     relieve_clashes: bool = True,
     clash_distance: float = 1.9,
+    water_region=None,
 ) -> AssembledSystem:
     """Concatenate molecules (+ optional water fill) into one Topology.
 
@@ -133,7 +134,8 @@ def assemble_system(
         assert box_extent is not None, "water fill requires a box"
         wpos = fill_water_positions(
             box_extent, exclude_positions=np.concatenate(pos) if pos else None,
-            model=water_model, n_target=n_waters, seed=seed)
+            model=water_model, n_target=n_waters, seed=seed,
+            region=water_region)
         n_w = len(wpos)
         sc = water_model.site_count
         wm = water_model

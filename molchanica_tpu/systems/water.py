@@ -104,7 +104,8 @@ def _random_rotations(n, rng):
 
 def fill_water_positions(box_extent, exclude_positions=None,
                          exclude_radius: float = 2.6, model: WaterModel = OPC,
-                         n_target: int = None, seed: int = 0):
+                         n_target: int = None, seed: int = 0,
+                         region=None):
     """Lattice-pack water molecules into the box, avoiding solute clashes.
 
     Returns [W, site_count, 3] positions. This is the host-side analog of the
@@ -121,6 +122,9 @@ def fill_water_positions(box_extent, exclude_positions=None,
     pts = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1).reshape(-1, 3)
     # jitter to break lattice symmetry
     pts += rng.uniform(-0.3, 0.3, pts.shape)
+    if region is not None:
+        lo, hi = np.asarray(region[0]), np.asarray(region[1])
+        pts = pts[np.all((pts >= lo) & (pts <= hi), axis=1)]
 
     if exclude_positions is not None and len(exclude_positions):
         ex = np.asarray(exclude_positions)
