@@ -44,7 +44,7 @@ def run_boundary_layer_sol_sim(
 ) -> BoundaryLayerMdData:
     """Water slab in the lower half of an elongated box + the solute at
     the interface; NVT; returns interfacial descriptors."""
-    slab_height = slab_waters * 30.0 / (box_xy * box_xy)   # ~bulk density
+    slab_height = slab_waters * 34.0 / (box_xy * box_xy)   # ~bulk density + margin
     # place the solute just above the slab surface
     sol = solute.translated(
         np.array([box_xy / 2, box_xy / 2, slab_height + 2.0])

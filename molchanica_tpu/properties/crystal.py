@@ -39,9 +39,10 @@ def crystal_md_setup(mol: MolSpec, target_density_g_cm3: float = 1.0,
     n = requested_copies
     vol = n * mw / (target_density_g_cm3 * 0.6022)
     side = vol ** (1.0 / 3.0)
-    # keep packing feasible: at least ~1.3x the molecule extent per cell
-    ext = float(np.ptp(np.asarray(mol.positions), axis=0).max()) + 2.0
-    n_side = max(int(side / ext), 1)
+    # keep packing feasible: ~0.75x the molecule extent per cell is enough
+    # (initial overlap is relieved by clash relaxation + capped warmup)
+    ext = max(float(np.ptp(np.asarray(mol.positions), axis=0).max()), 2.0)
+    n_side = max(int(side / (0.75 * ext)), 1)
     n_cap = n_side ** 3
     if n_cap < n:
         n = n_cap

@@ -115,16 +115,23 @@ def fill_water_positions(box_extent, exclude_positions=None,
     rng = np.random.default_rng(seed)
     box = np.asarray(box_extent, np.float64)
     spacing = (1.0 / WATER_NUMBER_DENSITY) ** (1.0 / 3.0)   # ~3.104 A
-    n = np.maximum((box / spacing).astype(int), 1)
-    xs = (np.arange(n[0]) + 0.5) * box[0] / n[0]
-    ys = (np.arange(n[1]) + 0.5) * box[1] / n[1]
-    zs = (np.arange(n[2]) + 0.5) * box[2] / n[2]
+    if region is not None:
+        lo = np.asarray(region[0], np.float64)
+        hi = np.asarray(region[1], np.float64)
+    else:
+        lo = np.zeros(3)
+        hi = box
+    ext = hi - lo
+    # when a target count is requested, over-generate candidates (ceil)
+    # and trim by random selection; otherwise stay at bulk density
+    rounder = np.ceil if n_target is not None else np.floor
+    n = np.maximum(rounder(ext / spacing).astype(int), 1)
+    xs = lo[0] + (np.arange(n[0]) + 0.5) * ext[0] / n[0]
+    ys = lo[1] + (np.arange(n[1]) + 0.5) * ext[1] / n[1]
+    zs = lo[2] + (np.arange(n[2]) + 0.5) * ext[2] / n[2]
     pts = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1).reshape(-1, 3)
     # jitter to break lattice symmetry
     pts += rng.uniform(-0.3, 0.3, pts.shape)
-    if region is not None:
-        lo, hi = np.asarray(region[0]), np.asarray(region[1])
-        pts = pts[np.all((pts >= lo) & (pts <= hi), axis=1)]
 
     if exclude_positions is not None and len(exclude_positions):
         ex = np.asarray(exclude_positions)
