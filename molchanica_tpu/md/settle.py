@@ -127,6 +127,21 @@ def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
     h1_f = (back(b3) + anchor).astype(dtype)
     h2_f = (back(c3) + anchor).astype(dtype)
 
+    # Re-express each output in ITS OWN atom's stored representation: the
+    # math above lives in the old O's minimum-image frame, so for a water
+    # straddling the periodic boundary the raw o_f/h_f can differ from the
+    # stored coordinate by a whole box length. Positions are equivalent
+    # modulo the box, but integrators that derive velocities from position
+    # corrections (v += (x_c - x_u)/h, the SHAKE-velocity update) would
+    # see that as a box-sized jump -> catastrophic velocity kick.
+    def rerep(val, col):
+        cur = x_new[widx[:, col]]
+        return cur + minimum_image(val - cur, box)
+
+    o_f = rerep(o_f, 0)
+    h1_f = rerep(h1_f, 1)
+    h2_f = rerep(h2_f, 2)
+
     x_out = x_new
     x_out = x_out.at[widx[:, 0]].set(o_f)
     x_out = x_out.at[widx[:, 1]].set(h1_f)

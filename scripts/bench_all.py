@@ -1,0 +1,165 @@
+"""All five BASELINE benchmark configs (BASELINE.md "configs").
+
+Prints one JSON line per config. Config 3 (the headline 25k solvated
+protein) is bench.py at the repo root; this script measures the other
+four plus a quick config-3 pass, for the full report.
+
+Run from the repo root on the target backend.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def report(cfg_name, **kw):
+    print(json.dumps({"config": cfg_name, **kw}), flush=True)
+
+
+def config1_vacuum_ligand():
+    """GAFF2 ligand (~50 atoms), vacuum, all-pairs, NVE velocity-Verlet."""
+    from molchanica_tpu.md.config import Integrator, MdConfig
+    from molchanica_tpu.md.engine import MdSim
+    from molchanica_tpu.molecules.smiles import from_smiles
+    from molchanica_tpu.molecules.spec import assemble_system
+
+    mol = from_smiles("CC(C)Cc1ccc(cc1)C(C)C(=O)O")      # ibuprofen, 33+H
+    spec = mol.to_spec(strict=False)
+    asys = assemble_system([spec])
+    cfg = MdConfig(integrator=Integrator.verlet_velocity(thermostat=None),
+                   temp_target=300.0, dtype="float32",
+                   max_init_relaxation_iters=300, steps_per_chunk=500,
+                   seed=1)
+    sim = MdSim(asys.topology, cfg, asys.positions)
+    sim.step(0.001, 500)                       # compile + settle
+    t0 = time.perf_counter()
+    sim.step(0.001, 5000)
+    el = time.perf_counter() - t0
+    report("1_vacuum_ligand_nve",
+           n_atoms=int(asys.topology.n_atoms_real),
+           us_per_step=round(el / 5000 * 1e6, 2),
+           ns_per_day=round(0.001 * 86400 / (el / 5000) / 1000, 1))
+
+
+def config2_vacuum_peptide():
+    """Short peptide, vacuum, ff14SB-family, Langevin NVT."""
+    from molchanica_tpu.md.config import (
+        HydrogenConstraint, Integrator, MdConfig)
+    from molchanica_tpu.md.engine import MdSim
+    from molchanica_tpu.molecules.peptide import prepare_peptide
+    from molchanica_tpu.molecules.peptide_builder import build_peptide
+    from molchanica_tpu.molecules.spec import assemble_system
+
+    spec = prepare_peptide(build_peptide("ACDEFGHIKLMNPQRSTVWY"))
+    asys = assemble_system([spec])
+    cfg = MdConfig(integrator=Integrator.langevin_middle(gamma=2.0),
+                   temp_target=300.0,
+                   hydrogen_constraint=HydrogenConstraint.shake(),
+                   dtype="float32", max_init_relaxation_iters=300,
+                   steps_per_chunk=500, seed=1)
+    sim = MdSim(asys.topology, cfg, asys.positions)
+    sim.step(0.002, 500)
+    t0 = time.perf_counter()
+    sim.step(0.002, 5000)
+    el = time.perf_counter() - t0
+    report("2_vacuum_peptide_nvt",
+           n_atoms=int(asys.topology.n_atoms_real),
+           us_per_step=round(el / 5000 * 1e6, 2),
+           ns_per_day=round(0.002 * 86400 / (el / 5000) / 1000, 1),
+           temperature_K=round(float(sim.temperature()), 1))
+
+
+def config4_docking():
+    """Rigid-receptor docking: 10k poses, poses/sec."""
+    from molchanica_tpu.docking.poses import init_poses
+    from molchanica_tpu.docking.scorer import score_poses
+    from molchanica_tpu.docking.setup import DockingSetup
+    from molchanica_tpu.docking.site import DockingSite
+    from molchanica_tpu.molecules.peptide import prepare_peptide
+    from molchanica_tpu.molecules.peptide_builder import build_peptide
+    from molchanica_tpu.molecules.smiles import from_smiles
+
+    rec = prepare_peptide(build_peptide("ACDEFGHIKLMNPQRSTVW" * 2))
+    center = np.asarray(rec.positions).mean(axis=0)
+    site = DockingSite(site_center=center, site_radius=8.0)
+    setup = DockingSetup.new(rec, site)
+    lig = from_smiles("CC(=O)Nc1ccc(O)cc1").to_spec(strict=False)
+    poses = init_poses(lig.positions, site, n_posits=16, n_orientations=40,
+                       seed=1)[:10000]
+    # compile
+    score_poses(setup, lig, poses[:128])
+    t0 = time.perf_counter()
+    e = score_poses(setup, lig, poses)
+    n = len(poses)
+    el = time.perf_counter() - t0
+    report("4_docking_10k_poses",
+           n_poses=int(n), poses_per_sec=round(n / el, 1),
+           best_kcal=round(float(np.min(np.asarray(e))), 2))
+
+
+def config5_dna_and_screening():
+    """Solvated DNA duplex MD + batched replica screening."""
+    from molchanica_tpu.md.config import (
+        HydrogenConstraint, Integrator, MdConfig)
+    from molchanica_tpu.md.engine import MdSim
+    from molchanica_tpu.molecules.nucleic_acid import MoleculeNucleicAcid
+    from molchanica_tpu.molecules.spec import assemble_system
+    from molchanica_tpu.parallel.replicas import ReplicaFarm
+    from molchanica_tpu.systems.water import OPC
+
+    na = MoleculeNucleicAcid.from_seq("GATTACAGATT", double=True)
+    spec = na.to_spec()
+    box = np.array([46.0] * 3)
+    spec = spec.translated(box / 2 - np.asarray(spec.positions).mean(0))
+    asys = assemble_system([spec], box_extent=box, water_model=OPC,
+                           neutralize=True, seed=2)
+    cfg = MdConfig(integrator=Integrator.langevin_middle(gamma=5.0),
+                   temp_target=310.0, lj_cutoff=9.0, coulomb_cutoff=9.0,
+                   hydrogen_constraint=HydrogenConstraint.shake(),
+                   dtype="float32", max_init_relaxation_iters=300,
+                   steps_per_chunk=50, seed=2)
+    sim = MdSim(asys.topology, cfg, asys.positions,
+                box_extent=asys.box_extent)
+    sim.step(0.0005, 200, force_cap=2000.0)
+    sim.step(0.001, 100)
+    t0 = time.perf_counter()
+    sim.step(0.002, 500)
+    el = time.perf_counter() - t0
+    n_at = int(asys.topology.n_atoms_real)
+    # multi-replica screening throughput on the same solvated system
+    farm = ReplicaFarm(sim, 4, seed=3)
+    farm.step(0.002, 5)
+    t1 = time.perf_counter()
+    farm.step(0.002, 50)
+    el2 = time.perf_counter() - t1
+    report("5_dna_duplex_and_screening",
+           n_atoms=n_at,
+           ms_per_step=round(el / 500 * 1000, 2),
+           ns_per_day=round(0.002 * 86400 / (el / 500) / 1000, 1),
+           replica_steps_per_sec=round(4 * 50 / el2, 1),
+           temperature_K=round(float(sim.temperature()), 1))
+
+
+def main():
+    which = sys.argv[1:] or ["1", "2", "4", "5"]
+    fns = {"1": config1_vacuum_ligand, "2": config2_vacuum_peptide,
+           "4": config4_docking, "5": config5_dna_and_screening}
+    for w in which:
+        t0 = time.perf_counter()
+        try:
+            fns[w]()
+        except Exception as e:
+            report(f"{w}_failed", error=f"{type(e).__name__}: {e}"[:300])
+        print(f"[bench_all] config {w} took "
+              f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()
