@@ -48,9 +48,9 @@ from .state import init_velocities, kinetic_energy, remove_com_drift
 
 
 class MiscompiledStepError(RuntimeError):
-    """Non-finite energy right after a chunk: on the axon relay this is
-    almost always a nondeterministic remote-compiler miscompile — the same
-    program recompiled in a fresh process is usually fine."""
+    """Non-finite energy right after a chunk — either a real instability
+    or (rarely, on the axon relay) a remote-compiler fault. A fresh-process
+    retry discriminates: miscompiles usually recompile clean."""
 
 
 @struct.dataclass
@@ -669,15 +669,16 @@ class FastSim:
             raise RuntimeError(
                 f"colpair overflow ({ovf}): column capacity or window "
                 "table exceeded — replan required")
-        # The axon remote compiler NONDETERMINISTICALLY miscompiles some
-        # chunk programs (same code + state: one compile is stable, the
-        # next NaNs within 50 steps). Detect immediately so callers can
-        # retry in a fresh process instead of burning a full run.
+        # Fail fast on non-finite energy: a genuine instability (bad
+        # state, timestep, or bug) or — rarely on the axon relay — a
+        # remote-compiler miscompile. Either way, continuing would only
+        # produce NaN garbage; callers can retry in a fresh process to
+        # discriminate (a miscompile usually recompiles clean).
         if not np.isfinite(float(self.state.pe_last)) and n_steps > 0:
             raise MiscompiledStepError(
-                "non-finite energy after step chunk — on the axon TPU "
-                "relay this is almost always a remote-compiler miscompile; "
-                "retry in a fresh process")
+                "non-finite energy after step chunk (instability or, "
+                "rarely, an axon remote-compile fault — retry in a fresh "
+                "process to discriminate)")
         return jnp.concatenate(energies) if energies else None
 
     def run(self, dt_ps: float, n_steps: int,
