@@ -249,7 +249,11 @@ def from_smiles(smiles: str) -> MoleculeCommon:
             charges.append(0)
             bonds.append((i, h))
             orders.append(1.0)
-    return MoleculeCommon(
+    mol = MoleculeCommon(
         elements=elements, positions=np.zeros((len(elements), 3)),
         bonds=bonds, bond_orders=orders, formal_charges=charges,
         name=smiles)
+    # real 3D geometry (force-directed embedding; consumers polish with
+    # the force field)
+    from .embed import ensure_coordinates
+    return ensure_coordinates(mol)
