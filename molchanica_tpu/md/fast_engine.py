@@ -99,7 +99,13 @@ class FastSim:
         rc = float(max(cfg.lj_cutoff, cfg.coulomb_cutoff))
         self.beta = float(ewald_beta_for(cfg.coulomb_cutoff, cfg.ewald_rtol))
         self.plan = plan_columns(box_np, rc, self.beta, top.n_atoms_real,
-                                 n_base, skin=0.7)
+                                 n_base, skin=1.2)
+        # Skin sizing: constrained hydrogens LIBRATE around their heavy
+        # atom between rebuilds — pair distances involving H can change by
+        # ~2x the libration amplitude (~0.4-0.5 A over 40 fs) on top of
+        # the COM drift, far beyond a drift-only estimate. 0.7 A was
+        # violated every ~10^3 steps at 310 K (missed pair -> overlap ->
+        # blowup); 1.2 A holds with margin for rebuild_every <= 20.
         S = self.plan.n_sorted
         self.S = S
 

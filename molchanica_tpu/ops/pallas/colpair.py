@@ -109,7 +109,7 @@ class ColPlan:
 
 
 def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
-                 n_base: int, skin: float = 0.7) -> ColPlan:
+                 n_base: int, skin: float = 1.2) -> ColPlan:
     """Choose the column grid. Width >= rc+skin: an atom at a column edge
     reaches rcw into the adjacent column, so the 3x3 window covers the
     cutoff sphere only if each column is at least rcw wide."""
