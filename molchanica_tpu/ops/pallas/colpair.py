@@ -44,7 +44,7 @@ from ...constants import COULOMB_CONST
 
 ICL = 64          # atoms per i-cluster (one grid program)
 ZBITS = 14        # z quantization bits in the sort key
-W_MAX = 80        # max window entries per cluster
+W_MAX = 27        # window entries = slot RANGES (9 cols x 3 z-ranges)
 _TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
 
 # r^2 floor (A^2): pairs closer than this (only possible mid-clash during
@@ -54,12 +54,17 @@ R2_MIN = 0.25
 # LJ distances are additionally floored at SIG_CLAMP * sigma_ij: excluded
 # intramolecular pairs sit at ~0.3 sigma where r^-12 reaches ~1e7 and the
 # f32 window-minus-subtraction cancellation would leave O(1) kcal/mol noise.
-# 0.45 sigma is below every bonded/excluded contact (the shortest, C-C at
-# 1.52 A / sigma 3.4, sits at 0.447 sigma) yet caps r^-12 at ~1.4e4, keeping
-# the f32 cancellation noise ~1e-3 kcal/mol per pair — the same philosophy
-# as the reference's softened Coulomb (src/cuda/util.cu:54). Forces remain
-# -grad(E) everywhere (flat below the clamp).
-SIG_CLAMP = 0.45
+# CRITICAL SAFETY MARGIN: the kernel and the exclusion-subtraction path
+# compute r^2 through different f32 op orders, so any pair whose distance
+# distribution has density AT the clamp boundary occasionally rounds to
+# opposite sides of the kink in the two paths — leaving the full LJ-wall
+# force (~5e4 kcal/mol/A) uncancelled for one step. At 0.45 sigma the C-C
+# bond (1.526 A = 0.447 sigma) sat exactly on the boundary: one mega-kick
+# every ~1.5k steps at 25k atoms (the recurring 2 fs NVE blowups).
+# 0.40 sigma puts every bonded/excluded contact >= 5 vibrational sigmas
+# from the kink while still capping r^-12 at ~6e4 (f32 cancellation noise
+# ~1e-2 kcal/mol per pair). Forces remain -grad(E) (flat below the clamp).
+SIG_CLAMP = 0.40
 
 
 def erfcx_cheb_coeffs(xmax: float, deg: int = 12) -> np.ndarray:
@@ -204,11 +209,11 @@ def make_window_fn(plan: ColPlan):
     """windows(x_sorted, keys_sorted, box, atom_mask_sorted)
     -> (wl [NC, W_MAX] int32, nw [NC] int32, overflow int32).
 
-    Entry packing: sid[16] | lo[7] | hi[8], where sid = slice_start/128 and
-    [lo, hi) are exact lane bounds within the slice — aligned slices may
-    otherwise spill into the next column's run and double-count pairs.
-    Periodicity is handled by minimum image inside the kernel, so entries
-    carry no shift; wrap ranges are clipped against the main range so no
+    Each entry is a [lo, hi) SLOT RANGE (up to 27 per cluster: 9 columns x
+    3 z-ranges); the kernel iterates the 128-lane slices of a range
+    internally, so range length never limits the table. Periodicity is
+    handled by minimum image inside the kernel, so entries carry no
+    shift; wrap ranges are clipped against the main range so no
     (i, j-slot) pair is ever covered twice.
     """
     nx, ny = plan.nx, plan.ny
@@ -248,7 +253,6 @@ def make_window_fn(plan: ColPlan):
 
         entries = []
         valids = []
-        slice_ovf = []
         for dx, dy in dxdy:
             jx = cx + dx
             jy = cy + dy
@@ -292,28 +296,22 @@ def make_window_fn(plan: ColPlan):
                 # last column's key and would otherwise inflate its ranges
                 lo = jnp.maximum(lo, col_start[jcol])
                 hi = jnp.minimum(hi, col_start[jcol + 1])
-                s0 = lo // 128
-                s1 = (hi + 127) // 128
-                n_sl = jnp.where(ok & (hi > lo), s1 - s0, 0)
-                slice_ovf.append(jnp.max(jnp.maximum(n_sl - 8, 0)))
-                for s in range(8):
-                    sid = s0 + s
-                    lo_lane = jnp.clip(lo - sid * 128, 0, 128)
-                    hi_lane = jnp.clip(hi - sid * 128, 0, 128)
-                    packed = (sid << 15) | (lo_lane << 8) | hi_lane
-                    good = (s < n_sl) & (hi_lane > lo_lane)
-                    entries.append(jnp.where(good, packed, 0))
-                    valids.append(good)
-        ent = jnp.stack(entries, axis=1)      # [NC, 9*3*6]
+                good = ok & (hi > lo)
+                entries.append((jnp.where(good, lo, 0),
+                                jnp.where(good, hi, 0)))
+                valids.append(good)
+        lo_all = jnp.stack([e[0] for e in entries], axis=1)  # [NC, 27]
+        hi_all = jnp.stack([e[1] for e in entries], axis=1)
         val = jnp.stack(valids, axis=1)
         nw = jnp.sum(val, axis=1).astype(jnp.int32)
-        overflow = jnp.maximum(jnp.max(nw) - W_MAX, 0) \
-            + jnp.max(jnp.stack(slice_ovf))
+        overflow = jnp.maximum(jnp.max(nw) - W_MAX, 0)
         # compact valid entries to the front (stable sort by ~valid)
         sort_key = jnp.where(val, 0, 1).astype(jnp.int32) * 4096 \
             + jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
         take = jnp.argsort(sort_key, axis=1)[:, :W_MAX]
-        wl = jnp.take_along_axis(ent, take, axis=1)
+        wl = jnp.stack([jnp.take_along_axis(lo_all, take, axis=1),
+                        jnp.take_along_axis(hi_all, take, axis=1)],
+                       axis=2).reshape(val.shape[0], -1)     # [NC, 2*W_MAX]
         nw = jnp.minimum(nw, W_MAX)
         return wl, nw, overflow.astype(jnp.int32)
 
@@ -408,37 +406,43 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
 
     def body(w, carry):
         fx, fy, fz, elj, ec = carry
-        entry = wl_ref[crow, w + 1]
-        hi_lane = entry & 255
-        lo_lane = (entry >> 8) & 127
-        sid = entry >> 15
-        start = pl.multiple_of(sid * 128, 128)
-        # explicit masking: position sentinels would be folded back into
-        # the box by the in-tile minimum image
-        in_run = (lane >= lo_lane) & (lane < hi_lane)
-        jok = in_run & (pT_ref[7:8, pl.ds(start, n_lanes)] > 0.0)
-        jx = pT_ref[0:1, pl.ds(start, n_lanes)]
-        jy = pT_ref[1:2, pl.ds(start, n_lanes)]
-        jz = pT_ref[2:3, pl.ds(start, n_lanes)]
-        jq = pT_ref[3:4, pl.ds(start, n_lanes)]
-        jsh = pT_ref[4:5, pl.ds(start, n_lanes)]
-        jse = pT_ref[5:6, pl.ds(start, n_lanes)]
-        alch = None
-        if has_alch:
-            cmj = pT_ref[6:7, pl.ds(start, n_lanes)]
-            is_alch = cmi + cmj - 2.0 * cmi * cmj
-            alch = 1.0 - is_alch * (1.0 - couple)
-        coeff, e_lj, e_c, dx, dy, dz = _pair_tile(
-            xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
-            rc2, beta, coeffs, want_energy, alch,
-            mi=(lx, ly, lz, ilx, ily, ilz), jmask=jok)
-        fx = fx - (2.0 * coeff) * dx
-        fy = fy - (2.0 * coeff) * dy
-        fz = fz - (2.0 * coeff) * dz
-        if want_energy:
-            elj = elj + e_lj
-            ec = ec + e_c
-        return fx, fy, fz, elj, ec
+        lo = wl_ref[crow, 2 * w + 1]
+        hi = wl_ref[crow, 2 * w + 2]
+        s0 = lo // n_lanes
+        n_sl = (hi + n_lanes - 1) // n_lanes - s0
+
+        def slice_body(s, carry2):
+            fx, fy, fz, elj, ec = carry2
+            start = pl.multiple_of((s0 + s) * n_lanes, n_lanes)
+            gid = lane + start
+            # explicit masking: position sentinels would be folded back
+            # into the box by the in-tile minimum image
+            in_run = (gid >= lo) & (gid < hi)
+            jok = in_run & (pT_ref[7:8, pl.ds(start, n_lanes)] > 0.0)
+            jx = pT_ref[0:1, pl.ds(start, n_lanes)]
+            jy = pT_ref[1:2, pl.ds(start, n_lanes)]
+            jz = pT_ref[2:3, pl.ds(start, n_lanes)]
+            jq = pT_ref[3:4, pl.ds(start, n_lanes)]
+            jsh = pT_ref[4:5, pl.ds(start, n_lanes)]
+            jse = pT_ref[5:6, pl.ds(start, n_lanes)]
+            alch = None
+            if has_alch:
+                cmj = pT_ref[6:7, pl.ds(start, n_lanes)]
+                is_alch = cmi + cmj - 2.0 * cmi * cmj
+                alch = 1.0 - is_alch * (1.0 - couple)
+            coeff, e_lj, e_c, dx, dy, dz = _pair_tile(
+                xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
+                rc2, beta, coeffs, want_energy, alch,
+                mi=(lx, ly, lz, ilx, ily, ilz), jmask=jok)
+            fx = fx - (2.0 * coeff) * dx
+            fy = fy - (2.0 * coeff) * dy
+            fz = fz - (2.0 * coeff) * dz
+            if want_energy:
+                elj = elj + e_lj
+                ec = ec + e_c
+            return fx, fy, fz, elj, ec
+
+        return jax.lax.fori_loop(0, n_sl, slice_body, carry)
 
     fx, fy, fz, elj, ec = jax.lax.fori_loop(
         0, nw, body, (zero, zero, zero, zero, zero))
@@ -473,13 +477,16 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
         _kernel, rc2=rc2, beta=beta, coeffs=coeffs,
         want_energy=want_energy, n_lanes=128, has_alch=has_alch)
 
+    # SMEM row width padded to a multiple of 8 words (alignment-safe)
+    _WL_W = ((2 * W_MAX + 1 + 7) // 8) * 8
+
     # wl rows: [nw, entry_0 .. entry_{W_MAX-1}]; blocked 8 clusters per
     # SMEM block (Mosaic requires sublane-dim blocks divisible by 8)
     grid_spec = pl.GridSpec(
         grid=(NC,),
         in_specs=[
-            pl.BlockSpec((8, W_MAX + 1), lambda c: (c // 8, 0),
-                         memory_space=pltpu.SMEM),          # nw | wl
+            pl.BlockSpec((8, _WL_W), lambda c: (c // 8, 0),
+                         memory_space=pltpu.SMEM),          # nw | (lo,hi)*
             pl.BlockSpec(memory_space=pltpu.VMEM),          # rows
             pl.BlockSpec(memory_space=pltpu.VMEM),          # pT
             pl.BlockSpec((1, 8), lambda c: (0, 0),
@@ -504,6 +511,10 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
             jnp.zeros((), jnp.float32),
         ]).reshape(1, 8)
         wl_full = jnp.concatenate([nw.reshape(NC, 1), wl], axis=1)
+        pad = _WL_W - wl_full.shape[1]
+        if pad:
+            wl_full = jnp.concatenate(
+                [wl_full, jnp.zeros((NC, pad), jnp.int32)], axis=1)
         out = pc(wl_full, rows, pT, params)
         f = out[:, :3]
         e_lj = jnp.sum(out[:, 3])
