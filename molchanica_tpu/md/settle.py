@@ -104,13 +104,38 @@ def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
     c2y = -rb * cosphi + rc * sinpsi * sinphi
     c2z = -rb * sinphi - rc * sinpsi * cosphi
 
-    # theta from minimizing |pos - target|^2 over in-plane rotation:
-    # tan(theta) = (gamma) / (alpha), paper eq. A*sin + B*cos form
-    alpha = b2x * (b1x - c1x) + b1y * b2y + c1y * c2y
-    gamma = b2x * (b1y - c1y) - b1x * b2y - c1x * c2y
-    norm = jnp.sqrt(jnp.maximum(alpha * alpha + gamma * gamma, 1e-24))
-    sinth = gamma / norm
-    costh = alpha / norm
+    # theta: the EXACT Miyamoto-Kollman in-plane rotation. alpha/beta are
+    # built from the OLD positions relative to the OLD center of mass
+    # (projected into the primed frame), gamma mixes old and displaced:
+    # solving alpha sin(th) + beta cos(th) = gamma keeps the constraint
+    # corrections along the old constraint gradients (symplectic). A
+    # least-squares fit of the displaced positions preserves the rigid
+    # geometry but does net work each step — measured ~1.8e-3
+    # kcal/mol/water/step of steady NVE energy drain.
+    com0 = (m_o * o0 + m_h * (h10 + h20)) / m_tot
+    a0r = o0 - com0
+    b0r = h10 - com0
+    c0r = h20 - com0
+    b0x, b0y, _b0z = comp(b0r)
+    c0x, c0y, _c0z = comp(c0r)
+    alpha = b2x * (b0x - c0x) + b0y * b2y + c0y * c2y
+    beta = b2x * (c0y - b0y) + b0x * b2y + c0x * c2y
+    gamma = b0x * b1y - b1x * b0y + c0x * c1y - c1x * c0y
+    al2be2 = jnp.maximum(alpha * alpha + beta * beta, 1e-24)
+    under = jnp.maximum(al2be2 - gamma * gamma, 0.0)
+    sinth = (alpha * gamma - beta * jnp.sqrt(under)) / al2be2
+    sinth = jnp.clip(sinth, -1.0, 1.0)
+    # cos(theta) from the constraint equation itself (the positive sqrt
+    # would drop its sign): alpha sin + beta cos = gamma
+    cos_mag = jnp.sqrt(jnp.maximum(1.0 - sinth * sinth, 1e-24))
+    costh = jnp.where(jnp.abs(beta) > 1e-9,
+                      (gamma - alpha * sinth) / jnp.where(
+                          jnp.abs(beta) > 1e-9, beta, 1.0),
+                      cos_mag)
+    # keep (sin, cos) an exact rotation
+    nrm = jnp.sqrt(jnp.maximum(sinth * sinth + costh * costh, 1e-24))
+    sinth = sinth / nrm
+    costh = costh / nrm
 
     def rot(px, py, pz):
         return (px * costh - py * sinth, px * sinth + py * costh, pz)
