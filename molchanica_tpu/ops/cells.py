@@ -262,6 +262,7 @@ def make_cell_direct_space_fn(top: Topology, cfg, box_extent, x0=None):
         e_lj, e_c = pair_lj_coulomb(
             r2, qq, sig, eps, cpl, ewald_beta=ewald_beta,
             cutoff=cfg.lj_cutoff, lj_switch_start=cfg.lj_switch_start,
+            coulomb_cutoff=cfg.coulomb_cutoff,
         )
         return jnp.sum(jnp.where(valid, e_lj, 0.0)), \
             jnp.sum(jnp.where(valid, e_c, 0.0))
@@ -329,6 +330,7 @@ def make_cell_direct_space_fn(top: Topology, cfg, box_extent, x0=None):
             el, ec = pair_lj_coulomb(
                 r2, qq, sig, eps, cpl, ewald_beta=ewald_beta,
                 cutoff=cfg.lj_cutoff, lj_switch_start=cfg.lj_switch_start,
+                coulomb_cutoff=cfg.coulomb_cutoff,
             )
             return jnp.sum(el * mask), jnp.sum(ec * mask)
 

@@ -85,6 +85,7 @@ def pair_lj_coulomb(
     lj_switch_start=None,
     lj_scale=1.0,
     coulomb_scale=1.0,
+    coulomb_cutoff=None,
 ):
     """Per-pair nonbonded energy (E_lj, E_coul) from squared distance.
 
@@ -101,7 +102,11 @@ def pair_lj_coulomb(
         if lj_switch_start is not None:
             e_lj = e_lj * switch_fn(r2, lj_switch_start, cutoff)
         e_lj = jnp.where(in_range, e_lj, 0.0)
-        e_c = jnp.where(in_range, e_c, 0.0)
+        # Coulomb may carry its own (longer) cutoff — truncating the erfc
+        # tail at the LJ cutoff would be inconsistent with the other
+        # direct-space backends (round-1 advisor finding)
+        rc_c = coulomb_cutoff if coulomb_cutoff is not None else cutoff
+        e_c = jnp.where(r2 < rc_c * rc_c, e_c, 0.0)
     return e_lj, e_c
 
 
