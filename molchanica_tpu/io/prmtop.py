@@ -201,7 +201,10 @@ def read_inpcrd(path) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     coords = np.asarray(vals[: 3 * n]).reshape(n, 3)
     rest = vals[3 * n:]
     box = None
-    # velocities (3n) may precede the box; box = 6 trailing values
-    if len(rest) >= 6 and (len(rest) % 3 == 0):
-        box = np.asarray(rest[-6:-3]) if len(rest) >= 6 else None
+    # velocities (3n) may precede the box; a box is present only when the
+    # remainder is exactly 6 values (box alone) or 3n+6 (velocities + box).
+    # A velocities-only restart has len(rest) == 3n and carries no box —
+    # its last six values are velocity components, not box dimensions.
+    if len(rest) == 6 or len(rest) == 3 * n + 6:
+        box = np.asarray(rest[-6:-3])
     return coords, box

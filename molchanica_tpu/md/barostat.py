@@ -22,21 +22,52 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import PRESSURE_KCAL_PER_A3_TO_BAR
+from ..constants import ACCEL_FACTOR, PRESSURE_KCAL_PER_A3_TO_BAR
 from .state import kinetic_energy
 
 
-def scaling_pressure_bar(e_scalar_fn, x, box, v, masses, dof_mask, couple):
+def _mol_com(x, masses, dof_mask, mol_id, n_mol):
+    """Per-molecule center of mass and mass (integrated dofs only) and the
+    per-atom COM gather. Virtual sites / padding (dof 0) are excluded from
+    the mass sums but still receive their molecule's COM (they ride along
+    when the molecule is translated)."""
+    m_eff = masses * dof_mask
+    msum = jax.ops.segment_sum(m_eff, mol_id, num_segments=n_mol)
+    msum = jnp.maximum(msum, 1e-12)
+    com = jax.ops.segment_sum(x * m_eff[:, None], mol_id,
+                              num_segments=n_mol) / msum[:, None]
+    return com, msum
+
+
+def scaling_pressure_bar(e_scalar_fn, x, box, v, masses, dof_mask, couple,
+                         mol_id=None, n_mol=None):
     """Exact virial pressure via the isotropic scaling derivative.
 
     e_scalar_fn(x, box, couple) -> E must be differentiable (all-XLA
     energy path; the analytic-force kernels are fine as long as their
     energy output is built from traced ops).
-    """
+
+    With mol_id/n_mol supplied, uses MOLECULAR (COM) scaling: E(s) moves
+    each molecule's center of mass with the box while internal geometry is
+    fixed, and the kinetic term is the molecular translational KE. For
+    constrained molecules (SETTLE waters, SHAKE H-clusters) atomic scaling
+    requires the constraint-force virial — an O(n_waters kB T / V) ~ 10^3
+    bar term; COM scaling makes that term vanish identically, so NPT
+    densities are unbiased without ever computing constraint forces."""
     vol = jnp.prod(box)
-    ke = kinetic_energy(v, masses, dof_mask)
     one = jnp.asarray(1.0, x.dtype)
-    dE_ds = jax.grad(lambda s: e_scalar_fn(x * s, box * s, couple))(one)
+    if mol_id is None:
+        ke = kinetic_energy(v, masses, dof_mask)
+        dE_ds = jax.grad(lambda s: e_scalar_fn(x * s, box * s, couple))(one)
+    else:
+        com, msum = _mol_com(x, masses, dof_mask, mol_id, n_mol)
+        vcom, _ = _mol_com(v, masses, dof_mask, mol_id, n_mol)
+        ke = 0.5 * jnp.sum(msum * jnp.sum(vcom * vcom, axis=-1)) \
+            / ACCEL_FACTOR
+        com_atom = com[mol_id]
+        dE_ds = jax.grad(
+            lambda s: e_scalar_fn(x + (s - one) * com_atom, box * s,
+                                  couple))(one)
     p = (2.0 * ke - dE_ds) / (3.0 * vol)   # kcal/mol/A^3
     return p * PRESSURE_KCAL_PER_A3_TO_BAR
 
@@ -62,10 +93,21 @@ def berendsen_mu(p_bar, pressure_target_bar, tau_ps, dt_eff_ps,
 
 def berendsen_scale_chunk(e_scalar_fn, x, box, v, masses, dof_mask, couple,
                           pressure_target_bar, tau_ps, dt_eff_ps,
-                          compressibility_per_bar=4.5e-5):
-    """One barostat application: measure P exactly, scale x and box."""
+                          compressibility_per_bar=4.5e-5,
+                          mol_id=None, n_mol=None):
+    """One barostat application: measure P exactly, scale x and box.
+
+    With mol_id/n_mol: molecular pressure + molecular position scaling
+    (each molecule translated by (mu-1)*COM, internal geometry untouched —
+    so constrained geometries stay exactly on the manifold through the
+    scale and no post-scale re-SETTLE is needed)."""
     p = scaling_pressure_bar(e_scalar_fn, x, box, v, masses, dof_mask,
-                             couple)
+                             couple, mol_id=mol_id, n_mol=n_mol)
     mu = berendsen_mu(p, pressure_target_bar, tau_ps, dt_eff_ps,
                       compressibility_per_bar)
-    return x * mu, box * mu, p
+    if mol_id is None:
+        x_new = x * mu
+    else:
+        com, _ = _mol_com(x, masses, dof_mask, mol_id, n_mol)
+        x_new = x + (mu - 1.0) * com[mol_id]
+    return x_new, box * mu, p

@@ -488,14 +488,28 @@ class MdSim:
                 if baro is not None:
                     # chunk-boundary weak coupling with the EXACT scaling
                     # virial (see md/barostat.py); tau >> k_steps * dt so
-                    # the coupling integral is unchanged
+                    # the coupling integral is unchanged. The virial is
+                    # dE/ds via jax.grad; pallas_call has no VJP, so with
+                    # the Pallas backend the pressure is evaluated through
+                    # a separate all-XLA energy function instead.
                     from .barostat import berendsen_scale_chunk
-                    e_scalar = lambda x_, b_, c_: force_fn(x_, b_, c_)[1][0]
+                    if self._use_pallas:
+                        if not hasattr(self, "_baro_e_fn"):
+                            self._baro_e_fn = _build_xla_energy(
+                                self.top, self.cfg, self.method,
+                                self._box_np,
+                                np.asarray(self.state.positions))
+                        e_scalar = lambda x_, b_, c_: \
+                            self._baro_e_fn(x_, b_, c_)[0]
+                    else:
+                        e_scalar = lambda x_, b_, c_: \
+                            force_fn(x_, b_, c_)[1][0]
                     x, box, _p = berendsen_scale_chunk(
                         e_scalar, x, v=v, box=box, masses=masses,
                         dof_mask=dof_mask, couple=couple,
                         pressure_target_bar=baro.pressure_target,
-                        tau_ps=baro.tau, dt_eff_ps=dt * k_steps)
+                        tau_ps=baro.tau, dt_eff_ps=dt * k_steps,
+                        mol_id=self.top.mol_id, n_mol=self.top.n_mol)
                     if self._cp is not None:
                         x = self._cp(x, x)
                 return x, v, key, box, (outs[0] if record_energy else None)

@@ -43,8 +43,30 @@ from ..ops.pme import default_grid, ewald_beta_for
 from ..ops.pme2 import make_pme2_recip_fn
 from ..topology import Topology
 from .config import MdConfig
-from .settle import settle_params, settle_positions, settle_velocities
+from .settle import (settle_compute, settle_params, settle_velocity_deltas)
 from .state import init_velocities, kinetic_energy, remove_com_drift
+
+
+def _solve3(A, b):
+    """Closed-form 3x3 linear solve via Cramer's rule (batched, [C,3,3] x
+    [C,3]). jnp.linalg.solve on small batched systems lowers to an LU path
+    that measured ~100x slower than this on TPU."""
+    a11, a12, a13 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a21, a22, a23 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a31, a32, a33 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    b1, b2, b3 = b[..., 0], b[..., 1], b[..., 2]
+    c1 = a22 * a33 - a23 * a32
+    c2 = a23 * a31 - a21 * a33
+    c3 = a21 * a32 - a22 * a31
+    det = a11 * c1 + a12 * c2 + a13 * c3
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    x1 = (b1 * c1 + a12 * (a23 * b3 - b2 * a33)
+          + a13 * (b2 * a32 - a22 * b3)) * inv
+    x2 = (a11 * (b2 * a33 - a23 * b3) + b1 * c2
+          + a13 * (a21 * b3 - b2 * a31)) * inv
+    x3 = (a11 * (a22 * b3 - b2 * a32) + a12 * (b2 * a31 - a21 * b3)
+          + b1 * c3) * inv
+    return jnp.stack([x1, x2, x3], axis=-1)
 
 
 class MiscompiledStepError(RuntimeError):
@@ -74,6 +96,18 @@ class FastState:
     vsite_idx: jnp.ndarray   # [V, 4]
     widx: jnp.ndarray        # [NW, 3] water (O, H1, H2)
     hc_idx: jnp.ndarray      # [C, 4] heavy + 3 H (clipped; mask separate)
+    # --- scatter-free merge tables (TPU scatter is serialized RMW at
+    # ~300 ns/row vs ~2.4 ns/row for gather; every hot-path write-back goes
+    # through "compute per-constraint -> per-slot gather + select" instead) —
+    # [S] int32, rebuilt with the sort:
+    w_of: jnp.ndarray        # water row owning this slot (NW = none)
+    w_role: jnp.ndarray      # 0=O 1=H1 2=H2 within that water, -1 = none
+    vm_of: jnp.ndarray       # vsite row whose M site is this slot (V = none)
+    vp_of: jnp.ndarray       # vsite row this slot parents (V = none)
+    vp_role: jnp.ndarray     # 1=O 2=H1 3=H2 parent role, -1 = none
+    hc_of: jnp.ndarray       # H-cluster row owning this slot (C = none)
+    hc_role: jnp.ndarray     # 0=heavy 1..3=H member, -1 = none
+    f: jnp.ndarray           # [S, 3] forces at x (carried across chunks)
     rng_key: jnp.ndarray
     box: jnp.ndarray
     couple: jnp.ndarray
@@ -201,9 +235,12 @@ class FastSim:
             1.0 / np.maximum(np.asarray(top.pair14_scnb), 1e-6),
             jnp.float32)
 
-        # PME
-        grid = cfg.pme_grid or default_grid(box_np)
-        self._recip = make_pme2_recip_fn(grid, self.beta, dtype=jnp.float32)
+        # PME: order-6 splines on a ~1.3 A mesh + matmul-DFT (ops/pme3.py);
+        # ~2.5x cheaper than the order-4 64^3 v2 path at equal accuracy
+        from ..ops.pme3 import default_grid6, make_pme3_recip_fn
+        grid = cfg.pme_grid or default_grid6(box_np, self.beta)
+        self._recip = make_pme3_recip_fn(grid, self.beta, order=6,
+                                         dtype=jnp.float32)
 
         # kernel instances
         has_alch = bool(np.asarray(top.couple_mask).sum() > 0)
@@ -244,6 +281,10 @@ class FastSim:
             np.full((pad,), n_base, np.int32)])
 
         zeros_i = jnp.zeros((), jnp.int32)
+        # identity-layout merge tables (base ids == slots before the first
+        # rebuild; replaced immediately by _rebuild)
+        init_tables = self._merge_tables(
+            self._widx_base, self._vs_base, self._hc_idx_base)
         state = FastState(
             perm=jnp.asarray(perm_init),
             x=jnp.asarray(x_init),
@@ -258,26 +299,70 @@ class FastSim:
             p14_idx=top.pair14_idx, intra_idx=self._im_idx_base,
             vsite_idx=self._vs_base,
             widx=self._widx_base, hc_idx=self._hc_idx_base,
+            f=jnp.zeros((S, 3), jnp.float32),
             rng_key=key,
             box=jnp.asarray(box_np, jnp.float32),
             couple=jnp.asarray(1.0, jnp.float32),
             step=zeros_i, overflow=zeros_i,
             pe_last=jnp.zeros((), jnp.float32),
             ke_last=jnp.zeros((), jnp.float32),
+            **init_tables,
         )
         self._rebuild_jit = jax.jit(self._rebuild)
         self.state = self._rebuild_jit(state)
         # project the initial geometry onto the constraint manifold (the
-        # reference engine does this inside MdState::new)
+        # reference engine does this inside MdState::new), then seed the
+        # carried force (each chunk step does exactly ONE force eval and
+        # hands its force to the next step's kick — no duplicate evals)
         cp, _ = self._make_cp_cv()
-        if cp is not None:
-            st = self.state
-            self.state = st.replace(
-                x=jax.jit(lambda s: cp(s.x, s.x, s))(st))
+        force = self._make_force_fn(None)
+
+        def _init_state(s):
+            if cp is not None:
+                s = s.replace(x=cp(s.x, s.x, s))
+            f0, (e0, _t) = force(s.x, s)
+            return s.replace(f=f0, pe_last=e0)
+
+        self.state = jax.jit(_init_state)(self.state)
         self.snapshots: list = []
         self._wall_time = 0.0
         self._chunk_cache = {}
         self._last_terms = {}
+        # Reference parity: MdState::new runs initial energy relaxation
+        # (src/md/mod.rs max_init_relaxation_iters). Skipped when the caller
+        # supplies velocities (restart / pre-equilibrated fixture).
+        if velocities is None and cfg.max_init_relaxation_iters:
+            self.minimize(int(cfg.max_init_relaxation_iters))
+
+    # ------------------------------------------------------------------
+    def _merge_tables(self, widx, vsite_idx, hc_idx):
+        """Per-slot ownership tables for the scatter-free write-backs.
+
+        For index rows (slot lists), produce [S] arrays mapping each slot to
+        the row that owns it and its member role. Built once per rebuild
+        (the only scatters left, amortized over neighbor_rebuild_every).
+        """
+        S = self.S
+
+        def tables(idx, roles):
+            R = idx.shape[0]
+            k = idx.shape[1]
+            of = jnp.full((S + 1,), R, jnp.int32)
+            rl = jnp.full((S + 1,), -1, jnp.int32)
+            slots = jnp.clip(idx.reshape(-1), 0, S)
+            rows = jnp.repeat(jnp.arange(R, dtype=jnp.int32), k)
+            rr = jnp.tile(jnp.asarray(roles, jnp.int32), R)
+            of = of.at[slots].set(rows)
+            rl = rl.at[slots].set(rr)
+            return of[:S], rl[:S]     # dummy sink row S dropped
+
+        w_of, w_role = tables(widx, [0, 1, 2])
+        vm_of, _ = tables(vsite_idx[:, 0:1], [0])
+        vp_of, vp_role = tables(vsite_idx[:, 1:], [1, 2, 3])
+        hc_of, hc_role = tables(hc_idx, [0, 1, 2, 3])
+        return dict(w_of=w_of, w_role=w_role, vm_of=vm_of,
+                    vp_of=vp_of, vp_role=vp_role,
+                    hc_of=hc_of, hc_role=hc_role)
 
     # ------------------------------------------------------------------
     def _rebuild(self, st: FastState) -> FastState:
@@ -287,7 +372,7 @@ class FastSim:
         # — refresh them from their parents BEFORE sorting, or the M charge
         # carriers get binned at stale positions and their interactions are
         # planned (and reported) wrong
-        x = self._apply_vsites(st.x, st.vsite_idx, st.box)
+        x = self._apply_vsites(st.x, st.vsite_idx, st.box, st.vm_of)
         x = x - st.box * jnp.floor(x / st.box)            # per-atom wrap
         mask = st.props[:, 4]
         perm2, keys, col_start, ovf1 = self._sort_S(x, st.box, mask)
@@ -302,6 +387,7 @@ class FastSim:
             return a_ext[perm2]
         x_new = g3(x, 1.0e6)
         v_new = g3(st.v, 0.0)
+        f_new = g3(st.f, 0.0)
         props_new = self._props_base[perm_new]
         masses_new = self._masses_base[perm_new]
         dof_new = self._dof_base[perm_new]
@@ -315,46 +401,57 @@ class FastSim:
 
         wl, nw, ovf2 = self._windows(x_new, keys, st.box,
                                      props_new[:, 4], col_start)
+        widx_new = remap(st.widx)
+        vsite_new = remap(st.vsite_idx)
+        hc_new = remap(st.hc_idx)
         return st.replace(
-            perm=perm_new, x=x_new, v=v_new, props=props_new,
+            perm=perm_new, x=x_new, v=v_new, f=f_new, props=props_new,
             masses=masses_new, dof=dof_new, wl=wl, nw=nw,
             bond_idx=remap(st.bond_idx), angle_idx=remap(st.angle_idx),
             dihedral_idx=remap(st.dihedral_idx),
             excl_idx=remap(st.excl_idx), p14_idx=remap(st.p14_idx),
             intra_idx=remap(st.intra_idx),
-            vsite_idx=remap(st.vsite_idx), widx=remap(st.widx),
-            hc_idx=remap(st.hc_idx),
+            vsite_idx=vsite_new, widx=widx_new,
+            hc_idx=hc_new,
             overflow=st.overflow + ovf1 + ovf2,
+            **self._merge_tables(widx_new, vsite_new, hc_new),
         )
 
     # ------------------------------------------------------------------
-    def _apply_vsites(self, x, vsite_idx, box):
+    # Vsite apply/spread, scatter-free: each M-slot / parent-slot PULLS its
+    # update through the [S] role tables instead of the vsite rows pushing
+    # (TPU scatter is serialized RMW; gather+select is ~100x cheaper here).
+    def _apply_vsites(self, x, vsite_idx, box, vm_of):
         if not self._has_vsites:
             return x
-        m = vsite_idx[:, 0]
         o = vsite_idx[:, 1]
         h1 = vsite_idx[:, 2]
         h2 = vsite_idx[:, 3]
         w = self._vs_w[:, None]
         d1 = minimum_image(x[h1] - x[o], box)
         d2 = minimum_image(x[h2] - x[o], box)
-        xm = x[o] + w * (d1 + d2)
-        return x.at[m].set(xm)
+        xm = x[o] + w * (d1 + d2)                          # [V, 3]
+        V = xm.shape[0]
+        xm_ext = jnp.concatenate(
+            [xm, jnp.zeros((1, 3), xm.dtype)], axis=0)
+        cand = xm_ext[jnp.minimum(vm_of, V)]
+        return jnp.where((vm_of < V)[:, None], cand, x)
 
-    def _spread_vsite_forces(self, f, vsite_idx):
+    def _spread_vsite_forces(self, f, vsite_idx, vp_of, vp_role, vm_of):
         if not self._has_vsites:
             return f
         m = vsite_idx[:, 0]
-        o = vsite_idx[:, 1]
-        h1 = vsite_idx[:, 2]
-        h2 = vsite_idx[:, 3]
-        w = self._vs_w[:, None]
-        fm = f[m]
-        f = f.at[m].set(jnp.zeros_like(fm))
-        f = f.at[o].add((1.0 - 2.0 * w) * fm)
-        f = f.at[h1].add(w * fm)
-        f = f.at[h2].add(w * fm)
-        return f
+        fm = f[m]                                          # [V, 3]
+        V = fm.shape[0]
+        fm_ext = jnp.concatenate(
+            [fm, jnp.zeros((1, 3), fm.dtype)], axis=0)
+        row = jnp.minimum(vp_of, V)
+        g = fm_ext[row]                                    # [S, 3]
+        w_ext = jnp.concatenate(
+            [self._vs_w, jnp.zeros((1,), self._vs_w.dtype)])[row]
+        coef = jnp.where(vp_role == 1, 1.0 - 2.0 * w_ext, w_ext)
+        f = jnp.where((vp_of < V)[:, None], f + coef[:, None] * g, f)
+        return jnp.where((vm_of < V)[:, None], 0.0, f)
 
     # ------------------------------------------------------------------
     def _make_force_fn(self, st_template, want_energy=True):
@@ -369,7 +466,7 @@ class FastSim:
             box = st.box
             couple = st.couple
             props = st.props
-            x_v = self._apply_vsites(x, st.vsite_idx, box)
+            x_v = self._apply_vsites(x, st.vsite_idx, box, st.vm_of)
             rows = jnp.concatenate(
                 [x_v, props, jnp.zeros((self.S, 0), jnp.float32)], axis=1)
             pT = rows.T
@@ -471,7 +568,8 @@ class FastSim:
             (e_rest, terms), g = jax.value_and_grad(
                 e_rest_fn, has_aux=True)(x_v)
             f = f_dir - g
-            f = self._spread_vsite_forces(f, st.vsite_idx)
+            f = self._spread_vsite_forces(f, st.vsite_idx, st.vp_of,
+                                          st.vp_role, st.vm_of)
             f = f * props[:, 4:5]
             e_tot = e_rest + e_lj + e_c
             terms = dict(
@@ -493,76 +591,114 @@ class FastSim:
         hc_mask = self._hc_mask
         hc_r0 = self._hc_r0
         hc_invm = self._hc_invm
+        eye3 = jnp.eye(3, dtype=jnp.float32)[None]
 
-        def hshake_pos(x_new, x_ref, hc_idx, box, iters=6):
-            """Star-topology M-SHAKE: heavy atom + up to 3 H."""
+        def merge_rows(x, res_flat, of, role, n_rows, k):
+            """Scatter-free write-back: each slot pulls its row from the
+            flattened per-constraint result stack via the ownership table."""
+            gid = jnp.minimum(of * k + jnp.clip(role, 0, k - 1),
+                              n_rows * k)
+            cand = res_flat[gid]
+            return jnp.where((of < n_rows)[:, None], cand, x)
+
+        def _mask_A(A):
+            """Deactivate padded constraints: identity rows/cols."""
+            m2 = hc_mask[:, :, None] * hc_mask[:, None, :]
+            return A * m2 + eye3 * (1.0 - hc_mask)[:, None, :] * eye3
+
+        def hshake_pos(x_new, x_ref, st, iters=6):
+            """Star-topology M-SHAKE (heavy + up to 3 H), iterated on
+            COMPACT per-cluster arrays with a closed-form 3x3 solve, then
+            merged back through the hc tables. The per-iteration full-array
+            scatter/gather + batched LU of the previous design was ~5 ms at
+            25k sites; this is tens of microseconds."""
+            hc_idx = st.hc_idx
+            box = st.box
             heavy = hc_idx[:, 0]
             hs = hc_idx[:, 1:]
             x0h = x_ref[heavy]
             r0 = minimum_image(x_ref[hs] - x0h[:, None, :], box)  # [C,3,3]
             inv_mh = hc_invm[:, 0:1]
             inv_mk = hc_invm[:, 1:]
+            xk_abs = x_new[hs]                                   # [C,3,3]
+            xh = x_new[heavy]                                    # [C,3]
+            r = minimum_image(xk_abs - xh[:, None, :], box)
+            ckl = inv_mh[:, :, None] + eye3 * inv_mk[:, :, None]
 
-            def body(_, xn):
-                xh = xn[heavy]
-                r = minimum_image(xn[hs] - xh[:, None, :], box)
-                # A[k,l] = 2 (d_kl (1/mh + 1/mk) ... star coupling:
-                # c_kl = 1/mh + delta_kl / m_k (all constraints share heavy)
+            def body(_, carry):
+                xh, r = carry
                 dot = jnp.einsum("cki,cli->ckl", r, r0)
-                ckl = inv_mh[:, :, None] + \
-                    jnp.eye(3)[None] * inv_mk[:, :, None]
-                A = 2.0 * ckl * dot
+                A = _mask_A(2.0 * ckl * dot)
                 b = hc_r0 ** 2 - jnp.sum(r * r, -1)
-                m2 = hc_mask[:, :, None] * hc_mask[:, None, :]
-                A = A * m2 + jnp.eye(3)[None] * (1.0 - hc_mask)[:, None, :] \
-                    * jnp.eye(3)[None]
-                lam = jnp.linalg.solve(A, (b * hc_mask)[..., None])[..., 0]
-                lam = lam * hc_mask
-                # H_k += lam_k r0_k / m_k ; heavy -= sum_k lam_k r0_k / m_h
+                lam = _solve3(A, b * hc_mask) * hc_mask
                 dh = lam[..., None] * r0 * inv_mk[..., None]
                 dheavy = -jnp.sum(lam[..., None] * r0, axis=1) * inv_mh
-                xn = xn.at[hs].add(dh)
-                xn = xn.at[heavy].add(dheavy)
-                return xn
+                r = r + dh - dheavy[:, None, :]
+                xh = xh + dheavy
+                return xh, r
 
-            return jax.lax.fori_loop(0, iters, body, x_new)
+            xh, r = jax.lax.fori_loop(0, iters, body, (xh, r))
+            # re-express Hs in their own stored representation (box wrap)
+            xk_f = xk_abs + minimum_image(
+                xh[:, None, :] + r - xk_abs, box)
+            res = jnp.concatenate([xh[:, None, :], xk_f], axis=1)  # [C,4,3]
+            C = res.shape[0]
+            flat = jnp.concatenate(
+                [res.reshape(-1, 3),
+                 jnp.zeros((1, 3), res.dtype)], axis=0)
+            return merge_rows(x_new, flat, st.hc_of, st.hc_role, C, 4)
 
-        def hshake_vel(v, x, hc_idx, box):
+        def hshake_vel(v, x, st):
+            hc_idx = st.hc_idx
             heavy = hc_idx[:, 0]
             hs = hc_idx[:, 1:]
-            r = minimum_image(x[hs] - x[heavy][:, None, :], box)
-            rv = v[hs] - v[heavy][:, None, :]
+            r = minimum_image(x[hs] - x[heavy][:, None, :], st.box)
+            vh = v[heavy]
+            vk = v[hs]
+            rv = vk - vh[:, None, :]
             inv_mh = hc_invm[:, 0:1]
             inv_mk = hc_invm[:, 1:]
-            ckl = inv_mh[:, :, None] + jnp.eye(3)[None] * inv_mk[:, :, None]
-            A = ckl * jnp.einsum("cki,cli->ckl", r, r)
+            ckl = inv_mh[:, :, None] + eye3 * inv_mk[:, :, None]
+            A = _mask_A(ckl * jnp.einsum("cki,cli->ckl", r, r))
             b = -jnp.sum(r * rv, -1)
-            m2 = hc_mask[:, :, None] * hc_mask[:, None, :]
-            A = A * m2 + jnp.eye(3)[None] * (1.0 - hc_mask)[:, None, :] \
-                * jnp.eye(3)[None]
-            mu = jnp.linalg.solve(A, (b * hc_mask)[..., None])[..., 0]
-            mu = mu * hc_mask
+            mu = _solve3(A, b * hc_mask) * hc_mask
             dvh = mu[..., None] * r * inv_mk[..., None]
             dvheavy = -jnp.sum(mu[..., None] * r, axis=1) * inv_mh
-            v = v.at[hs].add(dvh)
-            v = v.at[heavy].add(dvheavy)
-            return v
+            res = jnp.concatenate(
+                [(vh + dvheavy)[:, None, :], vk + dvh], axis=1)
+            C = res.shape[0]
+            flat = jnp.concatenate(
+                [res.reshape(-1, 3),
+                 jnp.zeros((1, 3), res.dtype)], axis=0)
+            return merge_rows(v, flat, st.hc_of, st.hc_role, C, 4)
 
         def cp(x_new, x_ref, st):
             if use_settle:
-                x_new = settle_positions(
+                res = settle_compute(
                     x_new, x_ref, st.widx, ra, rb, rcs, 15.999, 1.008,
-                    box=st.box)
+                    box=st.box)                                  # [NW,3,3]
+                NW = res.shape[0]
+                flat = jnp.concatenate(
+                    [res.reshape(-1, 3),
+                     jnp.zeros((1, 3), res.dtype)], axis=0)
+                x_new = merge_rows(x_new, flat, st.w_of, st.w_role, NW, 3)
             if use_h:
-                x_new = hshake_pos(x_new, x_ref, st.hc_idx, st.box)
+                x_new = hshake_pos(x_new, x_ref, st)
             return x_new
 
         def cv(v, x, st):
             if use_settle:
-                v = settle_velocities(v, x, st.widx, 15.999, 1.008,
-                                      box=st.box)
+                dv = settle_velocity_deltas(v, x, st.widx, 15.999, 1.008,
+                                            box=st.box)          # [NW,3,3]
+                NW = dv.shape[0]
+                flat = jnp.concatenate(
+                    [dv.reshape(-1, 3),
+                     jnp.zeros((1, 3), dv.dtype)], axis=0)
+                gid = jnp.minimum(
+                    st.w_of * 3 + jnp.clip(st.w_role, 0, 2), NW * 3)
+                v = jnp.where((st.w_of < NW)[:, None], v + flat[gid], v)
             if use_h:
-                v = hshake_vel(v, x, st.hc_idx, st.box)
+                v = hshake_vel(v, x, st)
             return v
 
         if not (use_settle or use_h):
@@ -572,7 +708,10 @@ class FastSim:
     # ------------------------------------------------------------------
     def _get_chunk_fn(self, dt: float, k_steps: int, record_energy: bool,
                       force_cap):
-        key = (dt, k_steps, record_energy, force_cap)
+        # record_energy no longer changes the compiled program (per-step
+        # energies always flow out of the scan as device scalars) — fewer
+        # compile variants, less setup time.
+        key = (dt, k_steps, force_cap)
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
@@ -595,24 +734,23 @@ class FastSim:
                 constrain_positions=cp_st, constrain_velocities=cv_st,
                 n_constraints=self.n_constraints, force_cap=force_cap)
 
-            f0, (e0, t0) = force(st.x, st)
-
             def body(carry, _):
                 x, v, f, k = carry
                 x, v, f, e, terms, k = one(x, v, f, st.box, st.couple, k)
-                out = (e,) if record_energy else ()
-                return (x, v, f, k), out
+                return (x, v, f, k), (e, terms)
 
-            (x, v, f, k), outs = jax.lax.scan(
-                body, (st.x, st.v, f0, st.rng_key), None, length=k_steps)
+            # st.f carries the force at st.x across chunk boundaries
+            # (rebuild permutes it), so each step costs exactly one eval.
+            (x, v, f, k), (es, terms_s) = jax.lax.scan(
+                body, (st.x, st.v, st.f, st.rng_key), None, length=k_steps)
             if cfg.zero_com_drift:
                 v = remove_com_drift(v, st.masses, st.dof)
-            _, (e_fin, terms) = force(x, st)
+            terms = jax.tree.map(lambda a: a[-1], terms_s)
             ke = kinetic_energy(v, st.masses, st.dof)
-            st = st.replace(x=x, v=v, rng_key=k, step=st.step + k_steps,
-                            pe_last=e_fin, ke_last=ke)
-            energies = outs[0] if record_energy else None
-            return st, terms, energies
+            st = st.replace(x=x, v=v, f=f, rng_key=k,
+                            step=st.step + k_steps,
+                            pe_last=es[-1], ke_last=ke)
+            return st, terms, es
 
         fn = jax.jit(chunk)
         self._chunk_cache[key] = fn
@@ -642,7 +780,8 @@ class FastSim:
                 return x_new, e
 
             x, es = jax.lax.scan(body, st.x, None, length=k_reb)
-            return st.replace(x=x), es[-1]
+            f, (e, _t) = force(x, st)     # keep the carried-force invariant
+            return st.replace(x=x, f=f, pe_last=e), es[-1]
 
         fn = jax.jit(chunk)
         done = 0
@@ -707,7 +846,7 @@ class FastSim:
         st = self.state
         if not hasattr(self, "_unsort_fn"):
             def unsort(st):
-                x = self._apply_vsites(st.x, st.vsite_idx, st.box)
+                x = self._apply_vsites(st.x, st.vsite_idx, st.box, st.vm_of)
                 out = jnp.zeros((self.n_base + 1, 3), jnp.float32)
                 return out.at[st.perm].set(x)
             self._unsort_fn = jax.jit(unsort)

@@ -37,8 +37,12 @@ def settle_params(r_oh: float, theta_hoh: float, m_o: float, m_h: float):
     return float(ra), float(rb), float(rc)
 
 
-def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
-    """Apply SETTLE: x_new' satisfying the rigid geometry exactly.
+def settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
+    """SETTLE core: return the constrained positions as a [W, 3, 3] stack
+    (per water: O', H1', H2') WITHOUT writing them back. Scatter-free — the
+    caller picks its own merge strategy (`settle_positions` scatters for the
+    generic engine; FastSim gathers through per-slot role tables because TPU
+    scatter is serialized and ~100x slower than gather).
 
     x_new: unconstrained positions after the drift ([N,3])
     x_old: positions BEFORE the drift (satisfying constraints)
@@ -166,17 +170,23 @@ def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
     o_f = rerep(o_f, 0)
     h1_f = rerep(h1_f, 1)
     h2_f = rerep(h2_f, 2)
+    return jnp.stack([o_f, h1_f, h2_f], axis=1)        # [W, 3, 3]
 
+
+def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
+    """settle_compute + scatter write-back (generic-engine path)."""
+    res = settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=box)
     x_out = x_new
-    x_out = x_out.at[widx[:, 0]].set(o_f)
-    x_out = x_out.at[widx[:, 1]].set(h1_f)
-    x_out = x_out.at[widx[:, 2]].set(h2_f)
+    x_out = x_out.at[widx[:, 0]].set(res[:, 0])
+    x_out = x_out.at[widx[:, 1]].set(res[:, 1])
+    x_out = x_out.at[widx[:, 2]].set(res[:, 2])
     return x_out
 
 
-def settle_velocities(v, x, widx, m_o, m_h, box=None):
+def settle_velocity_deltas(v, x, widx, m_o, m_h, box=None):
     """RATTLE-style velocity projection for the 3 constraints of each water
-    (analytic 3x3 solve, vectorized)."""
+    (analytic 3x3 solve, vectorized). Returns the per-site velocity deltas
+    as a [W, 3, 3] stack (dvO, dvH1, dvH2) without writing back."""
     from ..ops.pbc import minimum_image
 
     anchor = x[widx[:, 0]]
@@ -220,7 +230,13 @@ def settle_velocities(v, x, widx, m_o, m_h, box=None):
     dvo = io * (l1[:, None] * eab + l2[:, None] * eac)
     dvh1 = ih * (-l1[:, None] * eab + l3[:, None] * ebc)
     dvh2 = ih * (-l2[:, None] * eac - l3[:, None] * ebc)
-    v = v.at[widx[:, 0]].add(dvo.astype(v.dtype))
-    v = v.at[widx[:, 1]].add(dvh1.astype(v.dtype))
-    v = v.at[widx[:, 2]].add(dvh2.astype(v.dtype))
+    return jnp.stack([dvo, dvh1, dvh2], axis=1).astype(v.dtype)  # [W,3,3]
+
+
+def settle_velocities(v, x, widx, m_o, m_h, box=None):
+    """settle_velocity_deltas + scatter write-back (generic-engine path)."""
+    dv = settle_velocity_deltas(v, x, widx, m_o, m_h, box=box)
+    v = v.at[widx[:, 0]].add(dv[:, 0])
+    v = v.at[widx[:, 1]].add(dv[:, 1])
+    v = v.at[widx[:, 2]].add(dv[:, 2])
     return v

@@ -205,16 +205,28 @@ def make_sort_fn(plan: ColPlan):
     return sort
 
 
-def make_window_fn(plan: ColPlan):
+def make_window_fn(plan: ColPlan, triangular: bool = False):
     """windows(x_sorted, keys_sorted, box, atom_mask_sorted)
-    -> (wl [NC, W_MAX] int32, nw [NC] int32, overflow int32).
+    -> (wl [NC, 3*W_MAX] int32, nw [NC] int32, overflow int32).
 
-    Each entry is a [lo, hi) SLOT RANGE (up to 27 per cluster: 9 columns x
-    3 z-ranges); the kernel iterates the 128-lane slices of a range
-    internally, so range length never limits the table. Periodicity is
-    handled by minimum image inside the kernel, so entries carry no
-    shift; wrap ranges are clipped against the main range so no
-    (i, j-slot) pair is ever covered twice.
+    Each entry is (lo, hi, shift_code): a [lo, hi) SLOT RANGE (up to 27 per
+    cluster: 9 columns x 3 z-ranges) plus the packed periodic x/y shift the
+    kernel adds to the j-tile (code = (sx+1) + 3(sy+1) + 9, s in {-1,0,1}
+    box lengths). Baking the x/y shift per entry is EXACT min-image for all
+    in-cutoff pairs (column width >= rcw and nx,ny >= 3 by plan_columns), so
+    the kernel skips per-pair min-image on x/y (6 VPU ops/pair). z keeps the
+    per-pair min-image: a cluster is a 64-slot z-sorted run whose extent is
+    unbounded, so no single per-entry z-shift is valid for all its members.
+    The kernel iterates the 128-lane slices of a range internally, so range
+    length never limits the table; wrap ranges are clipped against the main
+    range IN QUANTIZED-BIN SPACE (wrap bins strictly outside the main bins),
+    so no (i, j-slot) pair is ever covered twice even when a wrap boundary
+    and the main boundary quantize into the same z bin.
+
+    triangular=True clamps ranges to slots >= the cluster start: with the
+    kernel's gid > i_slot diagonal mask and j-side accumulation (Newton's
+    third law over the sequential TPU grid), every unordered pair is
+    evaluated exactly once — half the pair math of the symmetric table.
     """
     nx, ny = plan.nx, plan.ny
     NC = plan.n_clusters
@@ -246,6 +258,7 @@ def make_window_fn(plan: ColPlan):
         col_c = jnp.clip(col_c, 0, nx * ny - 1)
         cx = col_c // ny
         cy = col_c - cx * ny
+        cl_start = jnp.arange(NC, dtype=jnp.int32) * ICL
 
         def zq(z):
             u = z / lz
@@ -258,6 +271,10 @@ def make_window_fn(plan: ColPlan):
             jy = cy + dy
             jxw = jnp.where(jx < 0, jx + nx, jnp.where(jx >= nx, jx - nx, jx))
             jyw = jnp.where(jy < 0, jy + ny, jnp.where(jy >= ny, jy - ny, jy))
+            # periodic shift of the stored j coords into i's frame:
+            # stored = unwrapped - s*L  =>  kernel adds s*L to j
+            sx = jnp.where(jx < 0, -1, jnp.where(jx >= nx, 1, 0))
+            sy = jnp.where(jy < 0, -1, jnp.where(jy >= ny, 1, 0))
             jcol = jxw * ny + jyw
             # xy distance from the cluster bbox to the (unwrapped) column
             # rectangle tightens the z-reach: zr = sqrt(rcw^2 - d_xy^2)
@@ -273,35 +290,47 @@ def make_window_fn(plan: ColPlan):
             zr = jnp.sqrt(jnp.maximum(zr2, 0.0))
             zlo_c = zmin_c - zr
             zhi_c = zmax_c + zr
-            # up to two z-ranges: main [zlo, zhi] clipped to the box, plus
-            # wrap ranges clipped against the main range (no double cover)
+            # up to two extra z-ranges: main [zlo, zhi] clipped to the box,
+            # plus wrap ranges made disjoint from the main range in BIN
+            # space (a wrap bin range never touches a main bin, so equal
+            # quantized boundary keys cannot double-cover a slot; whenever
+            # a wrap range is valid the main range covers its boundary bin)
+            bin_main_lo = zq(jnp.maximum(zlo_c, 0.0))
+            bin_main_hi = zq(jnp.minimum(zhi_c, lz))
             for wrap in (0, 1, 2):   # 0 = main, 1 = low wrap, 2 = high wrap
                 if wrap == 0:
-                    zl = jnp.maximum(zlo_c, 0.0)
-                    zh = jnp.minimum(zhi_c, lz)
-                    ok = (zh > zl) & any_valid & in_reach
+                    blo = bin_main_lo
+                    bhi = bin_main_hi
+                    ok = (zhi_c > jnp.maximum(zlo_c, 0.0)) \
+                        & any_valid & in_reach
                 elif wrap == 1:      # zlo < 0: neighbors at the column top
-                    zl = jnp.maximum(zlo_c + lz, jnp.minimum(zhi_c, lz))
-                    zh = jnp.full_like(zlo_c, lz)
-                    ok = (zlo_c < 0.0) & (zh > zl) & any_valid & in_reach
+                    blo = jnp.maximum(zq(zlo_c + lz), bin_main_hi + 1)
+                    bhi = jnp.full_like(blo, zmax)
+                    ok = (zlo_c < 0.0) & any_valid & in_reach
                 else:                # zhi > Lz: neighbors at the bottom
-                    zl = jnp.zeros_like(zhi_c)
-                    zh = jnp.minimum(zhi_c - lz, jnp.maximum(zlo_c, 0.0))
-                    ok = (zhi_c > lz) & (zh > zl) & any_valid & in_reach
-                klo = (jcol << ZBITS) | zq(zl)
-                khi = (jcol << ZBITS) | zq(zh)
+                    blo = jnp.zeros_like(bin_main_lo)
+                    bhi = jnp.minimum(zq(zhi_c - lz), bin_main_lo - 1)
+                    ok = (zhi_c > lz) & any_valid & in_reach
+                ok = ok & (bhi >= blo)
+                klo = (jcol << ZBITS) | jnp.maximum(blo, 0)
+                khi = (jcol << ZBITS) | jnp.minimum(bhi, zmax)
                 lo = jnp.searchsorted(keys, klo, side="left").astype(jnp.int32)
                 hi = jnp.searchsorted(keys, khi, side="right").astype(jnp.int32)
                 # clamp to the column's run: trailing pad slots share the
                 # last column's key and would otherwise inflate its ranges
                 lo = jnp.maximum(lo, col_start[jcol])
                 hi = jnp.minimum(hi, col_start[jcol + 1])
+                if triangular:
+                    lo = jnp.maximum(lo, cl_start)
                 good = ok & (hi > lo)
+                code = (sx + 1) + 3 * (sy + 1) + 9
                 entries.append((jnp.where(good, lo, 0),
-                                jnp.where(good, hi, 0)))
+                                jnp.where(good, hi, 0),
+                                jnp.where(good, code, 13)))
                 valids.append(good)
         lo_all = jnp.stack([e[0] for e in entries], axis=1)  # [NC, 27]
         hi_all = jnp.stack([e[1] for e in entries], axis=1)
+        sc_all = jnp.stack([e[2] for e in entries], axis=1)
         val = jnp.stack(valids, axis=1)
         nw = jnp.sum(val, axis=1).astype(jnp.int32)
         overflow = jnp.maximum(jnp.max(nw) - W_MAX, 0)
@@ -310,8 +339,9 @@ def make_window_fn(plan: ColPlan):
             + jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
         take = jnp.argsort(sort_key, axis=1)[:, :W_MAX]
         wl = jnp.stack([jnp.take_along_axis(lo_all, take, axis=1),
-                        jnp.take_along_axis(hi_all, take, axis=1)],
-                       axis=2).reshape(val.shape[0], -1)     # [NC, 2*W_MAX]
+                        jnp.take_along_axis(hi_all, take, axis=1),
+                        jnp.take_along_axis(sc_all, take, axis=1)],
+                       axis=2).reshape(val.shape[0], -1)     # [NC, 3*W_MAX]
         nw = jnp.minimum(nw, W_MAX)
         return wl, nw, overflow.astype(jnp.int32)
 
@@ -323,18 +353,17 @@ def make_window_fn(plan: ColPlan):
 # ---------------------------------------------------------------------------
 
 def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
-               rc2, beta, coeffs, want_energy, alch=None, mi=None,
+               rc2, beta, coeffs, want_energy, alch=None, zmi=None,
                jmask=None):
     """[ICL, 128] pair math. Returns (coeff = dV/dr2 masked, e_lj, e_c,
-    dx, dy, dz). `mi` = (lx, ly, lz, 1/lx, 1/ly, 1/lz) enables in-tile
-    minimum image."""
+    dx, dy, dz). `zmi` = (lz, 1/lz) enables in-tile minimum image on z
+    (x/y images are baked into the window entries as exact column shifts;
+    z cannot be, because a cluster's z-extent is unbounded)."""
     dx = xi - jx
     dy = yi - jy
     dz = zi - jz
-    if mi is not None:
-        lx, ly, lz, ilx, ily, ilz = mi
-        dx = dx - lx * jnp.round(dx * ilx)
-        dy = dy - ly * jnp.round(dy * ily)
+    if zmi is not None:
+        lz, ilz = zmi
         dz = dz - lz * jnp.round(dz * ilz)
     r2 = dx * dx + dy * dy + dz * dz
     valid = (r2 < rc2) & (r2 > 1e-9)
@@ -396,8 +425,6 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
     ly = box_ref[0, 1]
     lz = box_ref[0, 2]
     couple = box_ref[0, 3]
-    ilx = box_ref[0, 4]
-    ily = box_ref[0, 5]
     ilz = box_ref[0, 6]
 
     nw = wl_ref[crow, 0]
@@ -406,8 +433,15 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
 
     def body(w, carry):
         fx, fy, fz, elj, ec = carry
-        lo = wl_ref[crow, 2 * w + 1]
-        hi = wl_ref[crow, 2 * w + 2]
+        lo = wl_ref[crow, 3 * w + 1]
+        hi = wl_ref[crow, 3 * w + 2]
+        code = wl_ref[crow, 3 * w + 3]
+        # per-entry x/y shift: stored j = unwrapped - s*L with s decoded
+        # from the entry; adding s*L reconstructs the unwrapped j, which
+        # replaces per-pair x/y minimum image (6 VPU ops/pair) with two
+        # scalar adds per window entry. z keeps per-pair min-image.
+        shx = (code % 3 - 1).astype(jnp.float32) * lx
+        shy = ((code // 3) % 3 - 1).astype(jnp.float32) * ly
         s0 = lo // n_lanes
         n_sl = (hi + n_lanes - 1) // n_lanes - s0
 
@@ -415,12 +449,11 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
             fx, fy, fz, elj, ec = carry2
             start = pl.multiple_of((s0 + s) * n_lanes, n_lanes)
             gid = lane + start
-            # explicit masking: position sentinels would be folded back
-            # into the box by the in-tile minimum image
+            # explicit masking: run bounds + padded-slot sentinel rows
             in_run = (gid >= lo) & (gid < hi)
             jok = in_run & (pT_ref[7:8, pl.ds(start, n_lanes)] > 0.0)
-            jx = pT_ref[0:1, pl.ds(start, n_lanes)]
-            jy = pT_ref[1:2, pl.ds(start, n_lanes)]
+            jx = pT_ref[0:1, pl.ds(start, n_lanes)] + shx
+            jy = pT_ref[1:2, pl.ds(start, n_lanes)] + shy
             jz = pT_ref[2:3, pl.ds(start, n_lanes)]
             jq = pT_ref[3:4, pl.ds(start, n_lanes)]
             jsh = pT_ref[4:5, pl.ds(start, n_lanes)]
@@ -433,7 +466,7 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
             coeff, e_lj, e_c, dx, dy, dz = _pair_tile(
                 xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
                 rc2, beta, coeffs, want_energy, alch,
-                mi=(lx, ly, lz, ilx, ily, ilz), jmask=jok)
+                zmi=(lz, ilz), jmask=jok)
             fx = fx - (2.0 * coeff) * dx
             fy = fy - (2.0 * coeff) * dy
             fz = fz - (2.0 * coeff) * dz
@@ -478,7 +511,7 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
         want_energy=want_energy, n_lanes=128, has_alch=has_alch)
 
     # SMEM row width padded to a multiple of 8 words (alignment-safe)
-    _WL_W = ((2 * W_MAX + 1 + 7) // 8) * 8
+    _WL_W = ((3 * W_MAX + 1 + 7) // 8) * 8
 
     # wl rows: [nw, entry_0 .. entry_{W_MAX-1}]; blocked 8 clusters per
     # SMEM block (Mosaic requires sublane-dim blocks divisible by 8)

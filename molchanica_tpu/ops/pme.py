@@ -111,45 +111,23 @@ def make_pme_recip_fn(top, cfg, box_extent):
     """Build recip(x, box, couple) -> E_recip (differentiable).
 
     Grid size is fixed at build time from the initial box (barostat box
-    changes re-use the same mesh; the influence function tracks the live box).
+    changes re-use the same mesh; the influence function tracks the live
+    box). Delegates to the order-6 matmul-DFT SPME (ops/pme3.py) so both
+    engines (MdSim and FastSim) share ONE reciprocal-space implementation
+    and cross-engine energies agree to spline-interpolation accuracy.
     """
-    grid_shape = cfg.pme_grid or default_grid(box_extent)
-    Kx, Ky, Kz = grid_shape
-    beta = ewald_beta_for(cfg.coulomb_cutoff, cfg.ewald_rtol)
+    from .pme3 import make_pme3_recip_fn
 
-    b2 = (_bspline_b2(Kx)[:, None, None]
-          * _bspline_b2(Ky)[None, :, None]
-          * _bspline_b2(Kz)[None, None, :])
-    b2 = jnp.asarray(b2, jnp.dtype(cfg.dtype))
-    mx = np.fft.fftfreq(Kx) * Kx
-    my = np.fft.fftfreq(Ky) * Ky
-    mz = np.fft.fftfreq(Kz) * Kz
-    mx = jnp.asarray(mx, jnp.dtype(cfg.dtype))
-    my = jnp.asarray(my, jnp.dtype(cfg.dtype))
-    mz = jnp.asarray(mz, jnp.dtype(cfg.dtype))
+    grid_shape = cfg.pme_grid or default_grid(box_extent)
+    beta = ewald_beta_for(cfg.coulomb_cutoff, cfg.ewald_rtol)
+    recip3 = make_pme3_recip_fn(grid_shape, beta, order=6,
+                                dtype=jnp.dtype(cfg.dtype))
 
     charges = top.charges * top.atom_mask
     cm = top.couple_mask
 
     def recip(x, box, couple):
         q_eff = charges * (1.0 - cm * (1.0 - couple))
-        grid = spread_charges(x, q_eff, box, grid_shape)
-        S = jnp.fft.fftn(grid)
-        # k-vectors: k_i = 2 pi m_i / L_i
-        kx = 2.0 * jnp.pi * mx / box[0]
-        ky = 2.0 * jnp.pi * my / box[1]
-        kz = 2.0 * jnp.pi * mz / box[2]
-        k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
-              + kz[None, None, :] ** 2)
-        k2_safe = jnp.where(k2 == 0.0, 1.0, k2)
-        vol = box[0] * box[1] * box[2]
-        infl = 4.0 * jnp.pi / k2_safe * jnp.exp(-k2_safe / (4.0 * beta * beta))
-        infl = jnp.where(k2 == 0.0, 0.0, infl) * b2
-        e = (COULOMB_CONST / (2.0 * vol)) * jnp.sum(
-            infl * (S.real ** 2 + S.imag ** 2))
-        # net-charge (uniform background) correction
-        qtot = jnp.sum(q_eff)
-        e = e - COULOMB_CONST * jnp.pi / (2.0 * beta * beta * vol) * qtot * qtot
-        return e
+        return recip3(x, q_eff, box)
 
     return recip

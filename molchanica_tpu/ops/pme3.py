@@ -1,0 +1,191 @@
+"""SPME reciprocal space v3: order-6 splines + matmul-DFT, all-MXU.
+
+Improvements over ops/pme2.py (measured on v5e, 25k atoms, 63 A box):
+- Order-6 B-splines let the mesh drop from 64^3 (order 4, 1.0 A spacing)
+  to 48^3 (1.3 A) at equal Ewald accuracy: the dense spreading contraction
+  cost scales as A*Kx*Ky*Kz, so this alone is a ~4x FLOP cut.
+- jnp.fft.fftn on TPU lowers to a slow generic path at these sizes; a 3D
+  DFT of a 48^3 mesh is only ~0.1 GFLOP as three [K,K] matmul passes, so
+  the transform is done as explicit cos/sin contractions on the MXU. Only
+  |S|^2 is needed (energy quadrature), never an inverse transform.
+- The per-chunk dense (Wy (x) Wz) outer-product panel is the main HBM
+  traffic; chunk=1024 keeps it ~9 MB so it stays pipelined.
+
+Forces come from jax.grad: every op in the chain is a matmul or an
+elementwise polynomial, so the backward pass is matmuls too.
+
+Energy convention matches ops/pme.py (tin-foil boundary, k=0 dropped,
+net-charge background correction); validated in tests/test_pme3.py against
+the exact plane-wave sum.
+
+Reference parity: the ewald crate's cuFFT SPME path (SURVEY §2.1 "SPME
+reciprocal-space electrostatics"; /root/reference Cargo.toml:101-102).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import COULOMB_CONST
+from .pme import good_fft_size
+
+
+def default_grid6(box_extent, beta: float = None, spacing: float = 1.3,
+                  k_rtol: float = 1e-6):
+    """Mesh for order-6 splines (coarser than the order-4 1.0 A rule).
+
+    Two constraints: (a) spacing <= ~1.3 A for the spline interpolation
+    error, (b) the mesh Nyquist must cover the reciprocal Gaussian tail,
+    K >= L * k_cut / pi with k_cut = 2 beta sqrt(ln(1/k_rtol)) — the
+    binding constraint at large beta (short direct-space cutoffs)."""
+    box = np.asarray(box_extent, np.float64)
+    kmin = np.zeros(3)
+    if beta is not None:
+        k_cut = 2.0 * float(beta) * math.sqrt(math.log(1.0 / k_rtol))
+        kmin = box * k_cut / math.pi
+    return tuple(good_fft_size(max(16, int(math.ceil(b / spacing)),
+                                   int(math.ceil(km))))
+                 for b, km in zip(box, kmin))
+
+
+def bspline_weights(t, order: int):
+    """Cardinal B-spline weights M_order(t+k), k=0..order-1, for t in [0,1).
+
+    Contribution of an atom with fractional offset t to grid points
+    floor(u)-k. Cox-de Boor recurrence, traced (polynomial in t on the
+    fixed knot intervals, so autodiff gives the analytic derivative)."""
+    k = jnp.arange(order, dtype=t.dtype)
+    u = t[..., None] + k                       # in [k, k+1)
+    M = jnp.maximum(1.0 - jnp.abs(u - 1.0), 0.0)      # M_2
+    for n in range(3, order + 1):
+        Mm1 = jnp.concatenate(
+            [jnp.zeros_like(M[..., :1]), M[..., :-1]], axis=-1)
+        M = (u * M + (n - u) * Mm1) / (n - 1)
+    return M
+
+
+def _mn_integer_nodes(order: int) -> np.ndarray:
+    """M_order(j) for j = 1..order-1 (host numpy Cox-de Boor)."""
+    u = np.arange(1, order, dtype=np.float64)
+    M = np.maximum(1.0 - np.abs(u - 1.0), 0.0)          # M_2
+    for n in range(3, order + 1):
+        Mm1 = np.concatenate([[0.0], M[:-1]])           # M_{n-1}(u-1)
+        M = (u * M + (n - u) * Mm1) / (n - 1)
+    return M
+
+
+def _bspline_b2_n(K: int, order: int) -> np.ndarray:
+    """|b(m)|^2 Euler exponential-spline factors for one axis.
+
+    b(m) = [sum_{j=0}^{order-2} M_order(j+1) exp(2 pi i m j / K)]^-1
+    (same convention as ops/pme._bspline_b2, generalized in order)."""
+    nodes = _mn_integer_nodes(order)                    # M(1)..M(order-1)
+    m = np.arange(K)
+    denom = np.zeros(K, np.complex128)
+    for j in range(order - 1):
+        denom += nodes[j] * np.exp(2j * np.pi * m * j / K)
+    return 1.0 / np.maximum(np.abs(denom) ** 2, 1e-12)
+
+
+def _axis_weights(u, K, order):
+    """Dense [A, K] spreading matrix for one axis from fractional coords."""
+    u0 = jnp.floor(u)
+    t = u - u0
+    w = bspline_weights(t, order)                # [A, order]
+    base = u0.astype(jnp.int32)
+    offs = jnp.arange(order, dtype=jnp.int32)
+    idx = jnp.mod(base[:, None] - offs[None, :], K)      # [A, order]
+    grid_iota = jnp.arange(K, dtype=jnp.int32)
+    onehot = (idx[:, :, None] == grid_iota[None, None, :])
+    return jnp.sum(jnp.where(onehot, w[:, :, None], 0.0), axis=1)  # [A, K]
+
+
+def _dft_mats(K: int, dtype):
+    m = np.arange(K)
+    ang = -2.0 * np.pi * np.outer(m, m) / K
+    return (jnp.asarray(np.cos(ang), dtype),
+            jnp.asarray(np.sin(ang), dtype))
+
+
+def make_pme3_recip_fn(grid_shape, beta, order: int = 6,
+                       dtype=jnp.float32, chunk: int = 1024):
+    """Build recip(x, q_eff, box) -> E_recip, differentiable in x and q_eff.
+
+    Grid geometry fixed at build; the influence function tracks the live box
+    (barostat-safe)."""
+    Kx, Ky, Kz = grid_shape
+    b2 = (_bspline_b2_n(Kx, order)[:, None, None]
+          * _bspline_b2_n(Ky, order)[None, :, None]
+          * _bspline_b2_n(Kz, order)[None, None, :])
+    b2 = jnp.asarray(b2, dtype)
+    mx = jnp.asarray(np.fft.fftfreq(Kx) * Kx, dtype)
+    my = jnp.asarray(np.fft.fftfreq(Ky) * Ky, dtype)
+    mz = jnp.asarray(np.fft.fftfreq(Kz) * Kz, dtype)
+    Cx, Sx = _dft_mats(Kx, dtype)
+    Cy, Sy = _dft_mats(Ky, dtype)
+    Cz, Sz = _dft_mats(Kz, dtype)
+    acc_dtype = jnp.promote_types(dtype, jnp.float32)
+
+    def spread(x, q_eff, box):
+        n = x.shape[0]
+        n_chunks = -(-n // chunk)
+        n_pad = n_chunks * chunk
+        xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        qp = jnp.pad(q_eff, (0, n_pad - n))
+        Ks = jnp.asarray([Kx, Ky, Kz], x.dtype)
+        u = xp / box * Ks
+
+        def body(c, Q):
+            us = jax.lax.dynamic_slice(u, (c * chunk, 0), (chunk, 3))
+            qs = jax.lax.dynamic_slice(qp, (c * chunk,), (chunk,))
+            wx = _axis_weights(us[:, 0], Kx, order) * qs[:, None]
+            wy = _axis_weights(us[:, 1], Ky, order)
+            wz = _axis_weights(us[:, 2], Kz, order)
+            P = (wy[:, :, None] * wz[:, None, :]).reshape(chunk, Ky * Kz)
+            Qc = jax.lax.dot_general(
+                wx, P, (((0,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype)            # [Kx, Ky*Kz]
+            return Q + Qc
+
+        Q = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((Kx, Ky * Kz), acc_dtype))
+        return Q.reshape(Kx, Ky, Kz)
+
+    def dft3_abs2(Q):
+        """|DFT3(Q)|^2 via per-axis cos/sin matmul passes (real input)."""
+        pet = dict(preferred_element_type=acc_dtype)
+        R = jnp.einsum("xa,ayz->xyz", Cx, Q, **pet)
+        I = jnp.einsum("xa,ayz->xyz", Sx, Q, **pet)
+        R2 = jnp.einsum("yb,xbz->xyz", Cy, R, **pet) \
+            - jnp.einsum("yb,xbz->xyz", Sy, I, **pet)
+        I2 = jnp.einsum("yb,xbz->xyz", Cy, I, **pet) \
+            + jnp.einsum("yb,xbz->xyz", Sy, R, **pet)
+        R3 = jnp.einsum("zc,xyc->xyz", Cz, R2, **pet) \
+            - jnp.einsum("zc,xyc->xyz", Sz, I2, **pet)
+        I3 = jnp.einsum("zc,xyc->xyz", Cz, I2, **pet) \
+            + jnp.einsum("zc,xyc->xyz", Sz, R2, **pet)
+        return R3 * R3 + I3 * I3
+
+    def recip(x, q_eff, box):
+        grid = spread(x, q_eff, box)
+        s2 = dft3_abs2(grid)
+        kx = 2.0 * jnp.pi * mx / box[0]
+        ky = 2.0 * jnp.pi * my / box[1]
+        kz = 2.0 * jnp.pi * mz / box[2]
+        k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+              + kz[None, None, :] ** 2)
+        k2_safe = jnp.where(k2 == 0.0, 1.0, k2)
+        vol = box[0] * box[1] * box[2]
+        infl = 4.0 * jnp.pi / k2_safe * jnp.exp(
+            -k2_safe / (4.0 * beta * beta))
+        infl = jnp.where(k2 == 0.0, 0.0, infl) * b2
+        e = (COULOMB_CONST / (2.0 * vol)) * jnp.sum(infl * s2)
+        qtot = jnp.sum(q_eff)
+        e = e - COULOMB_CONST * jnp.pi / (2.0 * beta * beta * vol) \
+            * qtot * qtot
+        return e
+
+    return recip

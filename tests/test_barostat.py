@@ -68,6 +68,70 @@ def test_translation_invariance_lj_pbc():
     np.testing.assert_allclose(p0, p1, rtol=1e-8)
 
 
+def test_molecular_pressure_rigid_ideal_gas():
+    """Rigid diatomics with no intermolecular forces: the MOLECULAR
+    (COM-scaling) pressure must be n_mol kB T_trans / V — independent of the
+    (infinite-frequency) bond constraint. Atomic scaling + full atomic KE
+    would instead need the constraint-force virial to cancel the rotational
+    KE; the COM form never sees either (round-2 advisor finding)."""
+    rng = np.random.default_rng(3)
+    n_mol, L, T = 32, 20.0, 300.0
+    m = 18.0
+    com = rng.uniform(0, L, (n_mol, 3))
+    bond = rng.normal(size=(n_mol, 3))
+    bond /= np.linalg.norm(bond, axis=1, keepdims=True)
+    x = np.stack([com + 0.5 * bond, com - 0.5 * bond], 1).reshape(-1, 3)
+    mol_id = jnp.asarray(np.repeat(np.arange(n_mol), 2).astype(np.int32))
+    masses = jnp.full((2 * n_mol,), m / 2)
+    dof = jnp.ones((2 * n_mol,))
+    from molchanica_tpu.constants import ACCEL_FACTOR
+    # COM velocities at exactly T (translation) + arbitrary rotation about
+    # the COM (must NOT contribute to the molecular pressure)
+    v_mag = np.sqrt(3.0 * KB * T / m * ACCEL_FACTOR)
+    vdir = rng.normal(size=(n_mol, 3))
+    vdir /= np.linalg.norm(vdir, axis=1, keepdims=True)
+    v_com = vdir * v_mag
+    omega = rng.normal(size=(n_mol, 3)) * 10.0
+    v_rot = np.cross(omega, 0.5 * bond)
+    v = np.stack([v_com + v_rot, v_com - v_rot], 1).reshape(-1, 3)
+    e_fn = lambda x_, b_, c_: jnp.zeros(())
+    box = jnp.asarray([L, L, L], jnp.float64)
+    p = float(scaling_pressure_bar(
+        e_fn, jnp.asarray(x), box, jnp.asarray(v), masses, dof,
+        jnp.asarray(1.0), mol_id=mol_id, n_mol=n_mol))
+    p_expected = n_mol * KB * T / L ** 3 * PRESSURE_KCAL_PER_A3_TO_BAR
+    np.testing.assert_allclose(p, p_expected, rtol=1e-6)
+
+
+def test_molecular_scaling_preserves_geometry():
+    """berendsen_scale_chunk with mol_id translates molecules rigidly:
+    intramolecular distances are bit-preserved through the scale."""
+    from molchanica_tpu.md.barostat import berendsen_scale_chunk
+
+    rng = np.random.default_rng(4)
+    n_mol, L = 16, 15.0
+    com = rng.uniform(0, L, (n_mol, 3))
+    offs = rng.normal(size=(n_mol, 3, 3)) * 0.5
+    x = (com[:, None, :] + offs).reshape(-1, 3)
+    mol_id = jnp.asarray(np.repeat(np.arange(n_mol), 3).astype(np.int32))
+    masses = jnp.full((3 * n_mol,), 6.0)
+    dof = jnp.ones((3 * n_mol,))
+    v = jnp.zeros((3 * n_mol, 3))
+    box = jnp.asarray([L, L, L], jnp.float64)
+    # a strongly repulsive homogeneous energy so mu != 1
+    e_fn = lambda x_, b_, c_: 1e3 / jnp.prod(b_ / L)
+    x_new, box_new, p = berendsen_scale_chunk(
+        e_fn, jnp.asarray(x), box, v, masses, dof, jnp.asarray(1.0),
+        pressure_target_bar=1.0, tau_ps=0.5, dt_eff_ps=0.05,
+        mol_id=mol_id, n_mol=n_mol)
+    assert abs(float(box_new[0]) / L - 1.0) > 1e-5   # scale engaged
+    d_old = (np.asarray(x).reshape(n_mol, 3, 3)[:, 0]
+             - np.asarray(x).reshape(n_mol, 3, 3)[:, 1])
+    d_new = (np.asarray(x_new).reshape(n_mol, 3, 3)[:, 0]
+             - np.asarray(x_new).reshape(n_mol, 3, 3)[:, 1])
+    np.testing.assert_allclose(d_new, d_old, atol=1e-9)
+
+
 def test_npt_water_density_sane():
     """Short NPT on a small water box: box stays finite, moves toward
     (not away from) ambient density, pressure finite."""
