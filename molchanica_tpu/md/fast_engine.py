@@ -43,7 +43,8 @@ from ..ops.pme import default_grid, ewald_beta_for
 from ..ops.pme2 import make_pme2_recip_fn
 from ..topology import Topology
 from .config import MdConfig
-from .settle import (settle_compute, settle_params, settle_velocity_deltas)
+from .settle import (settle_compute_rolled, settle_params,
+                     settle_velocities_rolled)
 from .state import init_velocities, kinetic_energy, remove_com_drift
 
 
@@ -132,14 +133,33 @@ class FastSim:
         box_np = np.asarray(box_extent, np.float64)
         rc = float(max(cfg.lj_cutoff, cfg.coulomb_cutoff))
         self.beta = float(ewald_beta_for(cfg.coulomb_cutoff, cfg.ewald_rtol))
+        # Blocked-water layout (v3): every water's sites inherit the O's
+        # sort key, so each water is a contiguous (O, H1, H2[, M]) slot
+        # block through every rebuild — SETTLE / vsites / intra-water
+        # corrections then run gather-free via jnp.roll. Window SELECTION
+        # must reach r_blob (max site-to-O distance) further since keys are
+        # O-based; the kernel still masks by the true rc^2.
+        self._ws = int(top.water_start)
+        self._wstride = int(top.water_site_count)
+        self._n_wsites = int(top.water_count) * self._wstride
+        r_blob = float(top.water_r_oh) if top.water_count > 0 else 0.0
+        # skin 1.2 unless the box can't fit 3 columns at that reach (small
+        # test boxes); never below 0.8 (pair-coverage floor, see below).
+        # Column width needs rc + skin + 2*r_blob (j-O selection reach plus
+        # the i-side site overhang of blocked waters).
+        skin = min(1.2, float(box_np.min()) / 3.0 - rc - 2.0 * r_blob - 1e-6)
+        # floor 0.25: only small validation boxes land here; production
+        # boxes (>=3*(rc+1.2+2*r_blob)) always get the full 1.2
+        assert skin >= 0.25 - 1e-9, \
+            f"box {box_np} too small for FastSim at cutoff {rc}"
         self.plan = plan_columns(box_np, rc, self.beta, top.n_atoms_real,
-                                 n_base, skin=1.2)
-        # Skin sizing: constrained hydrogens LIBRATE around their heavy
-        # atom between rebuilds — pair distances involving H can change by
-        # ~2x the libration amplitude (~0.4-0.5 A over 40 fs) on top of
-        # the COM drift, far beyond a drift-only estimate. 0.7 A was
-        # violated every ~10^3 steps at 310 K (missed pair -> overlap ->
-        # blowup); 1.2 A holds with margin for rebuild_every <= 20.
+                                 n_base, skin=skin, r_blob=r_blob)
+        # Skin sizing: water-H pair coverage no longer depends on libration
+        # (H keys ride the O; r_blob covers the rigid offset at all times),
+        # but SOLUTE hydrogens still bin by their own position, so the skin
+        # keeps round-2's empirically validated 1.2 A (two-sided drift +
+        # X-H libration over rebuild_every=20 steps; 1.0 A blew up the 25k
+        # fixture within ~1e3 steps — one missed pair is one mega-kick).
         S = self.plan.n_sorted
         self.S = S
 
@@ -150,12 +170,23 @@ class FastSim:
             return np.concatenate([a, d], axis=0)
 
         q = np.asarray(top.charges, np.float64) * np.asarray(top.atom_mask)
+        # Exclusion-group ids (kernel props col 7): a water's sites share
+        # one id, so the kernel masks ALL its intra pairs directly (no
+        # window-minus-subtraction for the rigid solvent — round-3 perf
+        # rework); all other atoms get unique ids (their 1-2/1-3 exclusions
+        # stay on the pairlist-subtraction path). 0 marks padded slots.
+        gid = np.arange(n_base, dtype=np.float64)
+        if self._n_wsites:
+            wi = np.arange(self._n_wsites)
+            gid[self._ws:self._ws + self._n_wsites] = \
+                self._ws + self._wstride * (wi // self._wstride)
         props_base = np.stack([
             q * np.sqrt(COULOMB_CONST),
             np.asarray(top.lj_sigma) / 2.0,
             2.0 * np.sqrt(np.asarray(top.lj_eps)),
             np.asarray(top.couple_mask),
-            np.asarray(top.atom_mask)], axis=1).astype(np.float32)
+            (gid + 1.0) * np.asarray(top.atom_mask)], axis=1
+        ).astype(np.float32)
         self._props_base = jnp.asarray(with_dummy(props_base, 0.0))
         self._charges_base = jnp.asarray(
             with_dummy(q.astype(np.float32), 0.0))
@@ -216,10 +247,25 @@ class FastSim:
                 np.where(vmask[:, None], vs, n_base).astype(np.int32))
             self._vs_w = jnp.asarray(np.asarray(top.vsite_weight, np.float32))
             self._has_vsites = True
+            # rolled path: all vsites are 4-site-water M's (M = O+3 in the
+            # block) with one shared weight -> apply/spread via jnp.roll
+            vw = np.asarray(top.vsite_weight)[vmask]
+            vv = vs[vmask]
+            self._vsites_rolled = bool(
+                self._wstride == 4
+                and vv.shape[0] == top.water_count
+                and (vv[:, 0] == vv[:, 1] + 3).all()
+                and (vv[:, 2] == vv[:, 1] + 1).all()
+                and (vv[:, 3] == vv[:, 1] + 2).all()
+                and ((vv[:, 1] - self._ws) % 4 == 0).all()
+                and np.allclose(vw, vw[0]))
+            self._vs_w_scalar = float(vw[0]) if self._vsites_rolled else 0.0
         else:
             self._vs_base = jnp.full((1, 4), n_base, jnp.int32)
             self._vs_w = jnp.zeros((1,), jnp.float32)
             self._has_vsites = False
+            self._vsites_rolled = False
+            self._vs_w_scalar = 0.0
 
         if self.n_waters:
             self._settle_geom = settle_params(
@@ -235,12 +281,46 @@ class FastSim:
             1.0 / np.maximum(np.asarray(top.pair14_scnb), 1e-6),
             jnp.float32)
 
+        # Water intra pairs are masked in-kernel (shared group id) and
+        # their reciprocal-space erf compensation is computed gather-free
+        # via rolls; drop them from the pairlist exclusion set (which at
+        # 25k sites was ~90% water rows).
+        excl_np = np.asarray(top.excl_idx)
+        exm_np = np.asarray(top.excl_mask, np.float32)
+        if self._n_wsites:
+            lo, hi = self._ws, self._ws + self._n_wsites
+            in_w = ((excl_np[:, 0] >= lo) & (excl_np[:, 0] < hi)
+                    & (excl_np[:, 1] >= lo) & (excl_np[:, 1] < hi))
+            keep = ~(in_w & (exm_np > 0))
+            if not keep.any():
+                keep[0] = True          # fixed nonzero shape
+            excl_np = excl_np[keep]
+            exm_np = exm_np[keep] * (~in_w[keep])
+            wq = np.asarray(top.charges)[self._ws:self._ws + self._wstride]
+            self._wq = [float(v) for v in wq]
+            assert not (np.asarray(top.couple_mask)[
+                self._ws:self._ws + self._n_wsites] > 0).any(), \
+                "alchemically coupled waters unsupported by FastSim"
+        else:
+            self._wq = []
+        self._excl_idx_base = jnp.asarray(excl_np.astype(np.int32))
+        self._excl_mask = jnp.asarray(exm_np.astype(np.float32))
+
         # PME: order-6 splines on a ~1.3 A mesh + matmul-DFT (ops/pme3.py);
-        # ~2.5x cheaper than the order-4 64^3 v2 path at equal accuracy
-        from ..ops.pme3 import default_grid6, make_pme3_recip_fn
-        grid = cfg.pme_grid or default_grid6(box_np, self.beta)
-        self._recip = make_pme3_recip_fn(grid, self.beta, order=6,
-                                         dtype=jnp.float32)
+        # ~2.5x cheaper than the order-4 64^3 v2 path at equal accuracy.
+        # MOLCHANICA_PME=2 falls back to the round-2-validated pme2 path
+        # (A/B debugging knob).
+        import os as _os
+        if _os.environ.get("MOLCHANICA_PME", "3") == "2":
+            from ..ops.pme import default_grid
+            grid = cfg.pme_grid or default_grid(box_np)
+            self._recip = make_pme2_recip_fn(grid, self.beta,
+                                             dtype=jnp.float32)
+        else:
+            from ..ops.pme3 import default_grid6, make_pme3_recip_fn
+            grid = cfg.pme_grid or default_grid6(box_np, self.beta)
+            self._recip = make_pme3_recip_fn(grid, self.beta, order=6,
+                                             dtype=jnp.float32)
 
         # kernel instances
         has_alch = bool(np.asarray(top.couple_mask).sum() > 0)
@@ -251,14 +331,19 @@ class FastSim:
         self._im_idx_base = jnp.asarray(_im_idx)
         self._im_mask = jnp.asarray(_im_mask)
         interpret = jax.default_backend() == "cpu"   # tests / CPU mesh
+        # triangular: each unordered pair in exactly one tile (Newton's
+        # third law via the kernel's j-side VMEM accumulator) — half the
+        # pair math of the symmetric table. Env knob for A/B debugging.
+        import os
+        tri = os.environ.get("MOLCHANICA_FASTSIM_TRI", "1") == "1"
         self._direct = make_colpair_direct_fn(
             self.plan, has_alch=has_alch, want_energy=True,
-            interpret=interpret)
+            interpret=interpret, triangular=tri)
 
         # sort/window programs (rebuild operates on length-S sorted arrays)
         plan_S = dataclasses.replace(self.plan, n_base=S)
         self._sort_S = make_sort_fn(plan_S)
-        self._windows = make_window_fn(self.plan)
+        self._windows = make_window_fn(self.plan, triangular=tri)
 
         # ---- initial state: identity layout, then one rebuild ----
         x0_np = np.asarray(x0, np.float32)
@@ -295,7 +380,7 @@ class FastSim:
             wl=jnp.zeros((self.plan.n_clusters, W_MAX), jnp.int32),
             nw=jnp.zeros((self.plan.n_clusters,), jnp.int32),
             bond_idx=top.bond_idx, angle_idx=top.angle_idx,
-            dihedral_idx=top.dihedral_idx, excl_idx=top.excl_idx,
+            dihedral_idx=top.dihedral_idx, excl_idx=self._excl_idx_base,
             p14_idx=top.pair14_idx, intra_idx=self._im_idx_base,
             vsite_idx=self._vs_base,
             widx=self._widx_base, hc_idx=self._hc_idx_base,
@@ -373,9 +458,27 @@ class FastSim:
         # carriers get binned at stale positions and their interactions are
         # planned (and reported) wrong
         x = self._apply_vsites(st.x, st.vsite_idx, st.box, st.vm_of)
-        x = x - st.box * jnp.floor(x / st.box)            # per-atom wrap
+        xw = x - st.box * jnp.floor(x / st.box)           # per-atom wrap
         mask = st.props[:, 4]
-        perm2, keys, col_start, ovf1 = self._sort_S(x, st.box, mask)
+        if self._n_wsites:
+            # Wrap waters as MOLECULES in the O's frame: the kernel's baked
+            # x/y window shifts assume every stored coordinate lies in the
+            # column claimed by its (O-inherited) key, so H/M coordinates
+            # are stored relative to the wrapped O, never wrapped
+            # independently. owner = arange - role is valid because waters
+            # are blocked in the CURRENT layout (identity at init; by key
+            # construction after every rebuild).
+            perm = st.perm
+            in_w = (perm >= self._ws) & (perm < self._ws + self._n_wsites)
+            role = jnp.where(in_w, (perm - self._ws) % self._wstride, 0)
+            owner = jnp.arange(self.S, dtype=jnp.int32) - role
+            rel = minimum_image(x - x[owner], st.box)
+            x = jnp.where(in_w[:, None], xw[owner] + rel, xw)
+            perm2, keys, col_start, ovf1 = self._sort_S(
+                x, st.box, mask, owner)
+        else:
+            x = xw
+            perm2, keys, col_start, ovf1 = self._sort_S(x, st.box, mask)
         # compose: new slot -> base id
         perm_ext = jnp.concatenate(
             [st.perm, jnp.asarray([self.n_base], jnp.int32)])
@@ -424,6 +527,16 @@ class FastSim:
     def _apply_vsites(self, x, vsite_idx, box, vm_of):
         if not self._has_vsites:
             return x
+        if self._vsites_rolled:
+            # blocked layout: O at M-3, H1 at M-2, H2 at M-1 — peers via
+            # roll, no gathers. xm computed "as if every slot were an O",
+            # then shifted +3 onto the M slots and masked in.
+            w = self._vs_w_scalar
+            d1 = minimum_image(jnp.roll(x, -1, 0) - x, box)
+            d2 = minimum_image(jnp.roll(x, -2, 0) - x, box)
+            xm = x + w * (d1 + d2)
+            m_m = (vm_of < vsite_idx.shape[0])[:, None]
+            return jnp.where(m_m, jnp.roll(xm, 3, 0), x)
         o = vsite_idx[:, 1]
         h1 = vsite_idx[:, 2]
         h2 = vsite_idx[:, 3]
@@ -440,6 +553,18 @@ class FastSim:
     def _spread_vsite_forces(self, f, vsite_idx, vp_of, vp_role, vm_of):
         if not self._has_vsites:
             return f
+        if self._vsites_rolled:
+            w = self._vs_w_scalar
+            m_m = (vm_of < vsite_idx.shape[0])[:, None]
+            m_o = jnp.roll(m_m, -3, 0)          # O slot = M - 3
+            m_h1 = jnp.roll(m_m, -2, 0)
+            m_h2 = jnp.roll(m_m, -1, 0)
+            zero = jnp.zeros_like(f)
+            add = (jnp.where(m_o, (1.0 - 2.0 * w) * jnp.roll(f, -3, 0),
+                             zero)
+                   + jnp.where(m_h1, w * jnp.roll(f, -2, 0), zero)
+                   + jnp.where(m_h2, w * jnp.roll(f, -1, 0), zero))
+            return jnp.where(m_m, zero, f + add)
         m = vsite_idx[:, 0]
         fm = f[m]                                          # [V, 3]
         V = fm.shape[0]
@@ -491,7 +616,7 @@ class FastSim:
                 # subtract the kernel's contribution for excluded + 1-4
                 # pairs (identical arithmetic => exact cancellation)
                 el_x, ec_x = pairlist_colpair_energy(
-                    xv, box, st.excl_idx, self.top.excl_mask, q_kc, sh, se,
+                    xv, box, st.excl_idx, self._excl_mask, q_kc, sh, se,
                     cm, couple, plan)
                 el_4, ec_4 = pairlist_colpair_energy(
                     xv, box, st.p14_idx, self.top.pair14_mask, q_kc, sh, se,
@@ -527,8 +652,30 @@ class FastSim:
                 cpl_x = (1.0 - cm[ee_i] * (1.0 - couple)) \
                     * (1.0 - cm[ee_j] * (1.0 - couple))
                 e_corr = -COULOMB_CONST * jnp.sum(
-                    self.top.excl_mask * cpl_x * q_plain[ee_i]
+                    self._excl_mask * cpl_x * q_plain[ee_i]
                     * q_plain[ee_j] * jax.scipy.special.erf(beta * rr) / rr)
+                # intra-water erf compensation, gather-free via rolls: the
+                # recip sum includes each water's internal pairs; subtract
+                # erf(beta r)/r for every charged intra pair. (Their direct
+                # erfc part never enters: the kernel masks same-group
+                # pairs, so there is nothing else to subtract.)
+                if self._wq:
+                    m_o_mask = (st.w_role == 0) & (st.props[:, 4] > 0)
+                    xs = [xv] + [jnp.roll(xv, -k, 0)
+                                 for k in range(1, self._wstride)]
+                    for a in range(self._wstride):
+                        for b in range(a + 1, self._wstride):
+                            qq = self._wq[a] * self._wq[b]
+                            if abs(qq) < 1e-12:
+                                continue
+                            dd = minimum_image(xs[b] - xs[a], box)
+                            rr_w = jnp.sqrt(jnp.maximum(
+                                jnp.sum(dd * dd, -1), 1e-4))
+                            e_corr = e_corr - COULOMB_CONST * qq * jnp.sum(
+                                jnp.where(
+                                    m_o_mask,
+                                    jax.scipy.special.erf(beta * rr_w)
+                                    / rr_w, 0.0))
                 # 1-4 pairs likewise get erf subtraction (their PME
                 # direct+recip contribution must reduce to scaled plain
                 # Coulomb). The factor is the PRODUCT of the per-atom
@@ -570,7 +717,7 @@ class FastSim:
             f = f_dir - g
             f = self._spread_vsite_forces(f, st.vsite_idx, st.vp_of,
                                           st.vp_role, st.vm_of)
-            f = f * props[:, 4:5]
+            f = f * (props[:, 4:5] > 0)      # col 7 is group id, not 0/1
             e_tot = e_rest + e_lj + e_c
             terms = dict(
                 terms,
@@ -674,29 +821,20 @@ class FastSim:
 
         def cp(x_new, x_ref, st):
             if use_settle:
-                res = settle_compute(
-                    x_new, x_ref, st.widx, ra, rb, rcs, 15.999, 1.008,
-                    box=st.box)                                  # [NW,3,3]
-                NW = res.shape[0]
-                flat = jnp.concatenate(
-                    [res.reshape(-1, 3),
-                     jnp.zeros((1, 3), res.dtype)], axis=0)
-                x_new = merge_rows(x_new, flat, st.w_of, st.w_role, NW, 3)
+                # blocked-water layout: rolled SETTLE, zero gathers
+                m_o_mask = (st.w_role == 0) & (st.props[:, 4] > 0)
+                x_new = settle_compute_rolled(
+                    x_new, x_ref, m_o_mask, ra, rb, rcs, 15.999, 1.008,
+                    box=st.box)
             if use_h:
                 x_new = hshake_pos(x_new, x_ref, st)
             return x_new
 
         def cv(v, x, st):
             if use_settle:
-                dv = settle_velocity_deltas(v, x, st.widx, 15.999, 1.008,
-                                            box=st.box)          # [NW,3,3]
-                NW = dv.shape[0]
-                flat = jnp.concatenate(
-                    [dv.reshape(-1, 3),
-                     jnp.zeros((1, 3), dv.dtype)], axis=0)
-                gid = jnp.minimum(
-                    st.w_of * 3 + jnp.clip(st.w_role, 0, 2), NW * 3)
-                v = jnp.where((st.w_of < NW)[:, None], v + flat[gid], v)
+                m_o_mask = (st.w_role == 0) & (st.props[:, 4] > 0)
+                v = settle_velocities_rolled(v, x, m_o_mask, 15.999, 1.008,
+                                             box=st.box)
             if use_h:
                 v = hshake_vel(v, x, st)
             return v

@@ -6,9 +6,17 @@ SETTLE (Miyamoto & Kollman, J Comput Chem 13:952, 1992) resets every water
 to its exact rigid geometry in closed form — one vectorized pass over
 [n_waters] with no iteration, no convergence tolerance.
 
-Index arrays are passed at call time (not closed over) so the fast engine
-can re-map them to sorted slots at every neighbor rebuild without
-recompiling.
+Two data layouts are served by a shared core:
+- gather path (`settle_compute` / `settle_velocity_deltas`): index arrays
+  are passed at call time so the generic engine can re-map them; returns
+  compact per-water stacks for the caller to merge.
+- rolled path (`settle_compute_rolled` / `settle_velocities_rolled`): for
+  FastSim's molecule-blocked sorted layout, where every water occupies
+  consecutive slots (O, H1, H2[, M]). Site peers are reached by jnp.roll —
+  ZERO gathers, zero scatters; every slot runs the math as if it were an O
+  and non-O rows are discarded by the mask. On TPU this turns the ~10
+  [n_waters]-row gathers per projection (measured ~5.7 ms/step at 25k sites
+  in round 2) into pure VPU arithmetic.
 
 Reference parity: rigid OPC water (README.md:230); the reference keeps water
 rigidity separate from HydrogenConstraint (SURVEY §2.1).
@@ -37,30 +45,15 @@ def settle_params(r_oh: float, theta_hoh: float, m_o: float, m_h: float):
     return float(ra), float(rb), float(rc)
 
 
-def settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
-    """SETTLE core: return the constrained positions as a [W, 3, 3] stack
-    (per water: O', H1', H2') WITHOUT writing them back. Scatter-free — the
-    caller picks its own merge strategy (`settle_positions` scatters for the
-    generic engine; FastSim gathers through per-slot role tables because TPU
-    scatter is serialized and ~100x slower than gather).
+def _settle_core(o0, h10, h20, o1, h11, h21, ra, rb, rc, m_o, m_h):
+    """Miyamoto-Kollman math on anchor-relative site arrays.
 
-    x_new: unconstrained positions after the drift ([N,3])
-    x_old: positions BEFORE the drift (satisfying constraints)
-    widx:  [W,3] int32 (O, H1, H2) slot indices (may contain padding rows
-           pointing at a dummy atom; they settle harmlessly in isolation)
-    box:   optional [3] extent — works in the old O's minimum-image frame so
-           molecules split by per-atom wrapping settle correctly
+    All six inputs are relative to the old O (the anchor); o0 is zeros.
+    Returns (o_f, h1_f, h2_f) anchor-relative constrained positions.
+    Shape-agnostic: works on compact [W,3] stacks (gather path) or full
+    [S,3] rolled arrays (blocked-water path, where every slot is treated as
+    an O and non-O rows are discarded by the caller's mask).
     """
-    from ..ops.pbc import minimum_image
-
-    dtype = x_new.dtype
-    anchor = x_old[widx[:, 0]]
-    o0 = jnp.zeros_like(anchor)
-    h10 = minimum_image(x_old[widx[:, 1]] - anchor, box)
-    h20 = minimum_image(x_old[widx[:, 2]] - anchor, box)
-    o1 = minimum_image(x_new[widx[:, 0]] - anchor, box)
-    h11 = minimum_image(x_new[widx[:, 1]] - anchor, box)
-    h21 = minimum_image(x_new[widx[:, 2]] - anchor, box)
     m_tot = m_o + 2.0 * m_h
     com1 = (m_o * o1 + m_h * (h11 + h21)) / m_tot
 
@@ -117,7 +110,6 @@ def settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
     # geometry but does net work each step — measured ~1.8e-3
     # kcal/mol/water/step of steady NVE energy drain.
     com0 = (m_o * o0 + m_h * (h10 + h20)) / m_tot
-    a0r = o0 - com0
     b0r = h10 - com0
     c0r = h20 - com0
     b0x, b0y, _b0z = comp(b0r)
@@ -149,12 +141,38 @@ def settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
     c3 = rot(c2x, c2y, c2z)
 
     def back(p):
-        return (p[0][:, None] * xax + p[1][:, None] * yax
-                + p[2][:, None] * zax + com1)
+        return (p[0][..., None] * xax + p[1][..., None] * yax
+                + p[2][..., None] * zax + com1)
 
-    o_f = (back(a3) + anchor).astype(dtype)
-    h1_f = (back(b3) + anchor).astype(dtype)
-    h2_f = (back(c3) + anchor).astype(dtype)
+    return back(a3), back(b3), back(c3)
+
+
+def settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
+    """Gather-path SETTLE: return the constrained positions as a [W, 3, 3]
+    stack (per water: O', H1', H2') WITHOUT writing them back.
+
+    x_new: unconstrained positions after the drift ([N,3])
+    x_old: positions BEFORE the drift (satisfying constraints)
+    widx:  [W,3] int32 (O, H1, H2) slot indices (may contain padding rows
+           pointing at a dummy atom; they settle harmlessly in isolation)
+    box:   optional [3] extent — works in the old O's minimum-image frame so
+           molecules split by per-atom wrapping settle correctly
+    """
+    from ..ops.pbc import minimum_image
+
+    dtype = x_new.dtype
+    anchor = x_old[widx[:, 0]]
+    o0 = jnp.zeros_like(anchor)
+    h10 = minimum_image(x_old[widx[:, 1]] - anchor, box)
+    h20 = minimum_image(x_old[widx[:, 2]] - anchor, box)
+    o1 = minimum_image(x_new[widx[:, 0]] - anchor, box)
+    h11 = minimum_image(x_new[widx[:, 1]] - anchor, box)
+    h21 = minimum_image(x_new[widx[:, 2]] - anchor, box)
+    o_r, h1_r, h2_r = _settle_core(o0, h10, h20, o1, h11, h21,
+                                   ra, rb, rc, m_o, m_h)
+    o_f = (o_r + anchor).astype(dtype)
+    h1_f = (h1_r + anchor).astype(dtype)
+    h2_f = (h2_r + anchor).astype(dtype)
 
     # Re-express each output in ITS OWN atom's stored representation: the
     # math above lives in the old O's minimum-image frame, so for a water
@@ -173,30 +191,48 @@ def settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
     return jnp.stack([o_f, h1_f, h2_f], axis=1)        # [W, 3, 3]
 
 
-def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
-    """settle_compute + scatter write-back (generic-engine path)."""
-    res = settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=box)
-    x_out = x_new
-    x_out = x_out.at[widx[:, 0]].set(res[:, 0])
-    x_out = x_out.at[widx[:, 1]].set(res[:, 1])
-    x_out = x_out.at[widx[:, 2]].set(res[:, 2])
-    return x_out
-
-
-def settle_velocity_deltas(v, x, widx, m_o, m_h, box=None):
-    """RATTLE-style velocity projection for the 3 constraints of each water
-    (analytic 3x3 solve, vectorized). Returns the per-site velocity deltas
-    as a [W, 3, 3] stack (dvO, dvH1, dvH2) without writing back."""
+def settle_compute_rolled(x_new, x_old, m_o_mask, ra, rb, rc, m_o, m_h,
+                          box=None):
+    """Blocked-layout SETTLE: x_new/x_old are full sorted [S,3] arrays in
+    which every real water occupies consecutive slots (O, H1, H2[, M...]);
+    m_o_mask [S] marks the O slots. Returns the merged constrained [S,3]
+    positions (non-water slots untouched). Gather-free: peers via roll.
+    """
     from ..ops.pbc import minimum_image
 
-    anchor = x[widx[:, 0]]
-    o = jnp.zeros_like(anchor)
-    h1 = minimum_image(x[widx[:, 1]] - anchor, box)
-    h2 = minimum_image(x[widx[:, 2]] - anchor, box)
-    vo = v[widx[:, 0]]
-    vh1 = v[widx[:, 1]]
-    vh2 = v[widx[:, 2]]
-    # constraint bond vectors: (O-H1), (O-H2), (H1-H2)
+    dtype = x_new.dtype
+    r1 = lambda a: jnp.roll(a, -1, axis=0)
+    r2 = lambda a: jnp.roll(a, -2, axis=0)
+    anchor = x_old
+    o0 = jnp.zeros_like(anchor)
+    h10 = minimum_image(r1(x_old) - anchor, box)
+    h20 = minimum_image(r2(x_old) - anchor, box)
+    o1 = minimum_image(x_new - anchor, box)
+    h11 = minimum_image(r1(x_new) - anchor, box)
+    h21 = minimum_image(r2(x_new) - anchor, box)
+    o_r, h1_r, h2_r = _settle_core(o0, h10, h20, o1, h11, h21,
+                                   ra, rb, rc, m_o, m_h)
+
+    def rerep(val_rel, cur):
+        val = (val_rel + anchor).astype(dtype)
+        return cur + minimum_image(val - cur, box)
+
+    res_o = rerep(o_r, x_new)
+    res_h1 = rerep(h1_r, r1(x_new))
+    res_h2 = rerep(h2_r, r2(x_new))
+    m = m_o_mask[:, None]
+    out = jnp.where(m, res_o, x_new)
+    out = jnp.where(jnp.roll(m, 1, axis=0), jnp.roll(res_h1, 1, axis=0),
+                    out)
+    out = jnp.where(jnp.roll(m, 2, axis=0), jnp.roll(res_h2, 2, axis=0),
+                    out)
+    return out
+
+
+def _settle_vel_core(o, h1, h2, vo, vh1, vh2, m_o, m_h):
+    """RATTLE velocity projection for one water's 3 constraints (analytic
+    3x3 solve). Positions are anchor-relative (o = zeros); returns
+    (dvo, dvh1, dvh2)."""
     eab = o - h1
     eac = o - h2
     ebc = h1 - h2
@@ -227,10 +263,59 @@ def settle_velocity_deltas(v, x, widx, m_o, m_h, box=None):
     l3 = (b1 * (a21 * a32 - a22 * a31) + b2 * (a12 * a31 - a11 * a32)
           + b3 * (a11 * a22 - a12 * a21)) * inv_det
 
-    dvo = io * (l1[:, None] * eab + l2[:, None] * eac)
-    dvh1 = ih * (-l1[:, None] * eab + l3[:, None] * ebc)
-    dvh2 = ih * (-l2[:, None] * eac - l3[:, None] * ebc)
+    dvo = io * (l1[..., None] * eab + l2[..., None] * eac)
+    dvh1 = ih * (-l1[..., None] * eab + l3[..., None] * ebc)
+    dvh2 = ih * (-l2[..., None] * eac - l3[..., None] * ebc)
+    return dvo, dvh1, dvh2
+
+
+def settle_velocity_deltas(v, x, widx, m_o, m_h, box=None):
+    """Gather-path velocity projection. Returns the per-site velocity deltas
+    as a [W, 3, 3] stack (dvO, dvH1, dvH2) without writing back."""
+    from ..ops.pbc import minimum_image
+
+    anchor = x[widx[:, 0]]
+    o = jnp.zeros_like(anchor)
+    h1 = minimum_image(x[widx[:, 1]] - anchor, box)
+    h2 = minimum_image(x[widx[:, 2]] - anchor, box)
+    vo = v[widx[:, 0]]
+    vh1 = v[widx[:, 1]]
+    vh2 = v[widx[:, 2]]
+    dvo, dvh1, dvh2 = _settle_vel_core(o, h1, h2, vo, vh1, vh2, m_o, m_h)
     return jnp.stack([dvo, dvh1, dvh2], axis=1).astype(v.dtype)  # [W,3,3]
+
+
+def settle_velocities_rolled(v, x, m_o_mask, m_o, m_h, box=None):
+    """Blocked-layout velocity projection: v/x are full sorted [S,3] arrays
+    with blocked waters (m_o_mask marks O slots). Returns the projected v.
+    Gather-free (peers via roll)."""
+    from ..ops.pbc import minimum_image
+
+    r1 = lambda a: jnp.roll(a, -1, axis=0)
+    r2 = lambda a: jnp.roll(a, -2, axis=0)
+    o = jnp.zeros_like(x)
+    h1 = minimum_image(r1(x) - x, box)
+    h2 = minimum_image(r2(x) - x, box)
+    dvo, dvh1, dvh2 = _settle_vel_core(o, h1, h2, v, r1(v), r2(v),
+                                       m_o, m_h)
+    m = m_o_mask[:, None]
+    zero = jnp.zeros_like(v)
+    dv = jnp.where(m, dvo, zero)
+    dv = dv + jnp.where(jnp.roll(m, 1, axis=0),
+                        jnp.roll(dvh1, 1, axis=0), zero)
+    dv = dv + jnp.where(jnp.roll(m, 2, axis=0),
+                        jnp.roll(dvh2, 2, axis=0), zero)
+    return (v + dv).astype(v.dtype)
+
+
+def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
+    """settle_compute + scatter write-back (generic-engine path)."""
+    res = settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=box)
+    x_out = x_new
+    x_out = x_out.at[widx[:, 0]].set(res[:, 0])
+    x_out = x_out.at[widx[:, 1]].set(res[:, 1])
+    x_out = x_out.at[widx[:, 2]].set(res[:, 2])
+    return x_out
 
 
 def settle_velocities(v, x, widx, m_o, m_h, box=None):

@@ -69,6 +69,13 @@ class Trajectory:
             cells = [f.box_extent for f in trr]
             self._trr_times = np.asarray([f.time_ps for f in trr])
             self._file_meta = ("trr", frames, cells)
+        elif p.endswith(".xtc"):
+            from ..io.xtc import read_xtc
+            xtc = read_xtc(path)
+            frames = [f.positions for f in xtc]
+            cells = [f.box_extent for f in xtc]
+            self._trr_times = np.asarray([f.time_ps for f in xtc])
+            self._file_meta = ("xtc", frames, cells)
         elif p.endswith(".gro"):
             self._file_meta = ("gro", None, None)
         else:
@@ -78,7 +85,8 @@ class Trajectory:
     def n_frames(self) -> int:
         if self.snapshots:
             return len(self.snapshots)
-        if self._file_meta and self._file_meta[0] in ("dcd", "trr"):
+        if self._file_meta and self._file_meta[0] in ("dcd", "trr",
+                                                     "xtc"):
             return len(self._file_meta[1])
         if self._file_meta and self._file_meta[0] == "gro":
             return sum(1 for line in open(self.path)
@@ -99,7 +107,8 @@ class Trajectory:
         if self.snapshots:
             idx = fs.select(self.times())
             return [self.snapshots[i] for i in idx]
-        if self._file_meta and self._file_meta[0] in ("dcd", "trr"):
+        if self._file_meta and self._file_meta[0] in ("dcd", "trr",
+                                                     "xtc"):
             _, frames, cells = self._file_meta
             times = self.times()
             idx = fs.select(times)
@@ -134,6 +143,20 @@ class Trajectory:
                 time_ps=float(s.time), box_extent=box,
                 positions=self._frame_coords(s), velocities=None))
         write_trr(frames, path)
+        return path
+
+    def save_xtc(self, path, box_extent=None, precision: float = 1000.0):
+        """GROMACS XTC compressed trajectory (reference trajectory.rs XTC
+        branch)."""
+        from ..io.xtc import XtcFrame, write_xtc
+        frames = []
+        for s in self.snapshots:
+            box = s.box_extent if s.box_extent is not None else box_extent
+            frames.append(XtcFrame(
+                step=int(round(s.time / max(self._dt, 1e-12))),
+                time_ps=float(s.time), box_extent=box,
+                positions=self._frame_coords(s)))
+        write_xtc(frames, path, precision=precision)
         return path
 
     def save_gro(self, path, elements, box_extent=None):

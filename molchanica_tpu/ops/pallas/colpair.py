@@ -42,7 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import COULOMB_CONST
 
-ICL = 64          # atoms per i-cluster (one grid program)
+# Atoms per i-cluster (one grid program). Smaller clusters tighten each
+# cluster's z-bbox (fewer dead pair slots) at the cost of more programs and
+# more SMEM window rows. Env knob for on-chip sweeps; must be a multiple
+# of 8 and divide into 128-slot padding cleanly.
+import os as _os
+ICL = int(_os.environ.get("MOLCHANICA_ICL", "64"))
 ZBITS = 14        # z quantization bits in the sort key
 W_MAX = 27        # window entries = slot RANGES (9 cols x 3 z-ranges)
 _TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
@@ -65,6 +70,7 @@ R2_MIN = 0.25
 # from the kink while still capping r^-12 at ~6e4 (f32 cancellation noise
 # ~1e-2 kcal/mol per pair). Forces remain -grad(E) (flat below the clamp).
 SIG_CLAMP = 0.40
+_S2_MAX = 1.0 / (SIG_CLAMP * SIG_CLAMP)
 
 
 def erfcx_cheb_coeffs(xmax: float, deg: int = 12) -> np.ndarray:
@@ -99,6 +105,12 @@ class ColPlan:
     skin: float
     beta: float               # Ewald splitting parameter
     erfcx_coeffs: Tuple[float, ...]
+    # molecule-blocked binning margin: rigid-solvent sites inherit their
+    # O's sort key (so each water is a contiguous 3/4-slot block), which
+    # places a site's key up to r_blob from its true position. Window
+    # SELECTION therefore reaches rcw + r_blob (the kernel still masks by
+    # the true rc^2).
+    r_blob: float = 0.0
 
     @property
     def n_cols(self) -> int:
@@ -112,15 +124,21 @@ class ColPlan:
     def rc_w(self) -> float:
         return self.cutoff + self.skin
 
+    @property
+    def rc_wb(self) -> float:
+        return self.cutoff + self.skin + self.r_blob
+
 
 def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
-                 n_base: int, skin: float = 1.2) -> ColPlan:
-    """Choose the column grid. Width >= rc+skin: an atom at a column edge
-    reaches rcw into the adjacent column, so the 3x3 window covers the
-    cutoff sphere only if each column is at least rcw wide."""
+                 n_base: int, skin: float = 1.2,
+                 r_blob: float = 0.0) -> ColPlan:
+    """Choose the column grid. Width >= rc+skin+2*r_blob: the selection
+    reach on j-O keys is rcwb = rc+skin+r_blob, and a blocked i-site can
+    sit up to r_blob OUTSIDE its block's column, so the 3x3 window covers
+    the cutoff sphere only if each column is at least rcwb + r_blob wide."""
     box = np.asarray(box_extent, np.float64)
-    rcw = cutoff + skin
-    wmin = rcw
+    rcw = cutoff + skin + r_blob
+    wmin = rcw + r_blob
     nx = max(int(box[0] / wmin), 1)
     ny = max(int(box[1] / wmin), 1)
     assert nx >= 3 and ny >= 3 and box[2] >= 2 * rcw - 1e-9, \
@@ -138,7 +156,7 @@ def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
                    wy=float(box[1] / ny), lz=float(box[2]),
                    n_sorted=n_sorted, n_base=n_base,
                    cutoff=float(cutoff), skin=float(skin), beta=float(beta),
-                   erfcx_coeffs=coeffs)
+                   erfcx_coeffs=coeffs, r_blob=float(r_blob))
 
 
 # ---------------------------------------------------------------------------
@@ -147,11 +165,22 @@ def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
 # ---------------------------------------------------------------------------
 
 def make_sort_fn(plan: ColPlan):
-    """sort(x_base_order, atom_mask) -> (perm [S] int32 (base ids; n_base =
-    dummy), keys [S] int32, col_start [n_cols+1], overflow int32).
+    """sort(x_base_order, atom_mask, owner=None, role=None) ->
+    (perm [S] int32 (base ids; n_base = dummy), keys [S] int32,
+    col_start [n_cols+1], overflow int32).
 
     perm[s] = base-order atom id occupying sorted slot s; dummy slots point
     at row n_base (callers must append a far-away dummy row when gathering).
+
+    Molecule blocking: with `owner` ([n] int32, self-index for free atoms),
+    each atom inherits its owner's (column, z-bin) key, so a rigid solvent
+    molecule's sites share one key. Blocking then follows from SORT
+    STABILITY: jnp.argsort is stable, and the input layout is always
+    blocked (identity at init, output of the previous rebuild after), so
+    equal-key members keep their (O, H1, H2[, M]) order and whole blocks
+    stay contiguous — even when several molecules collide in one z-bin
+    (common for lattice-packed boxes). No tie-break bits: role bits would
+    INTERLEAVE colliding molecules by site rank.
     """
     nx, ny = plan.nx, plan.ny
     S = plan.n_sorted
@@ -159,17 +188,20 @@ def make_sort_fn(plan: ColPlan):
     n_cols = plan.n_cols
     zmax = (1 << ZBITS) - 1
 
-    def sort(x, box, atom_mask):
+    def sort(x, box, atom_mask, owner=None):
         u = x / box
         u = u - jnp.floor(u)
         cx = jnp.minimum((u[:, 0] * nx).astype(jnp.int32), nx - 1)
         cy = jnp.minimum((u[:, 1] * ny).astype(jnp.int32), ny - 1)
         zb = jnp.minimum((u[:, 2] * (zmax + 1)).astype(jnp.int32), zmax)
         col = cx * ny + cy
+        if owner is not None:
+            col = col[owner]
+            zb = zb[owner]
         real = atom_mask > 0
         col = jnp.where(real, col, n_cols)          # pads sort to the end
         key = (col << ZBITS) | jnp.where(real, zb, 0)
-        order = jnp.argsort(key).astype(jnp.int32)  # [n_base]
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)  # [n_base]
         col_sorted = col[order]
         n_real = jnp.sum(real.astype(jnp.int32))
         # per-column ranges among the real prefix
@@ -229,12 +261,20 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
     evaluated exactly once — half the pair math of the symmetric table.
     """
     nx, ny = plan.nx, plan.ny
+    n_cols = nx * ny
     NC = plan.n_clusters
     S = plan.n_sorted
-    rcw = plan.rc_w
+    # selection reach: keys of blocked solvent sites are O-based, so the
+    # window must include every j whose KEY position (its O) lies within
+    # rcw + r_blob of the cluster; the kernel masks by the true rc^2.
+    rcw = plan.rc_wb
     zmax = (1 << ZBITS) - 1
 
     dxdy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    HB = 8                      # window-range z quantization (256 bins)
+    SH = ZBITS - HB
+    NB = 1 << HB
 
     def windows(xs, keys, box, mask_s, col_start):
         lz = box[2]
@@ -243,6 +283,24 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
         xc = xs.reshape(NC, ICL, 3)
         mc = mask_s.reshape(NC, ICL) > 0
         any_valid = mc.any(axis=1)
+        # Range construction via a per-(column, z-bin) cumulative slot
+        # table instead of searchsorted: slots are already key-sorted, so
+        # lo/hi of any bin interval is one cheap table gather. (54 scalar
+        # searchsorted passes measured ~10 ms on chip; this is ~0.1 ms.)
+        # HB=8 coarsens boundaries by Lz/256 (~0.25 A) per side — a few
+        # extra slots per range, nothing more. Pads are excluded from the
+        # counts, so hi automatically clips to the column's real run.
+        real_s = mask_s > 0
+        colk = jnp.clip(keys >> ZBITS, 0, n_cols - 1)
+        bin8 = (keys & zmax) >> SH
+        bucket = jnp.where(real_s, colk * NB + bin8, n_cols * NB)
+        counts = jnp.zeros((n_cols * NB + 1,), jnp.int32
+                           ).at[bucket].add(1)
+        counts = counts[:n_cols * NB].reshape(n_cols, NB)
+        cum = jnp.concatenate(
+            [jnp.zeros((n_cols, 1), jnp.int32),
+             jnp.cumsum(counts, axis=1)], axis=1)      # [n_cols, NB+1]
+        cum_flat = cum.reshape(-1)
         big = jnp.asarray(1e30, xs.dtype)
         # cluster bounding box (rebuild-time positions; rcw = rc + skin
         # absorbs drift until the next rebuild)
@@ -262,7 +320,7 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
 
         def zq(z):
             u = z / lz
-            return jnp.clip((u * (zmax + 1)).astype(jnp.int32), 0, zmax)
+            return jnp.clip((u * NB).astype(jnp.int32), 0, NB - 1)
 
         entries = []
         valids = []
@@ -305,43 +363,47 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
                         & any_valid & in_reach
                 elif wrap == 1:      # zlo < 0: neighbors at the column top
                     blo = jnp.maximum(zq(zlo_c + lz), bin_main_hi + 1)
-                    bhi = jnp.full_like(blo, zmax)
+                    bhi = jnp.full_like(blo, NB - 1)
                     ok = (zlo_c < 0.0) & any_valid & in_reach
                 else:                # zhi > Lz: neighbors at the bottom
                     blo = jnp.zeros_like(bin_main_lo)
                     bhi = jnp.minimum(zq(zhi_c - lz), bin_main_lo - 1)
                     ok = (zhi_c > lz) & any_valid & in_reach
                 ok = ok & (bhi >= blo)
-                klo = (jcol << ZBITS) | jnp.maximum(blo, 0)
-                khi = (jcol << ZBITS) | jnp.minimum(bhi, zmax)
-                lo = jnp.searchsorted(keys, klo, side="left").astype(jnp.int32)
-                hi = jnp.searchsorted(keys, khi, side="right").astype(jnp.int32)
-                # clamp to the column's run: trailing pad slots share the
-                # last column's key and would otherwise inflate its ranges
-                lo = jnp.maximum(lo, col_start[jcol])
-                hi = jnp.minimum(hi, col_start[jcol + 1])
-                if triangular:
-                    lo = jnp.maximum(lo, cl_start)
-                good = ok & (hi > lo)
                 code = (sx + 1) + 3 * (sy + 1) + 9
-                entries.append((jnp.where(good, lo, 0),
-                                jnp.where(good, hi, 0),
-                                jnp.where(good, code, 13)))
-                valids.append(good)
-        lo_all = jnp.stack([e[0] for e in entries], axis=1)  # [NC, 27]
-        hi_all = jnp.stack([e[1] for e in entries], axis=1)
+                entries.append((blo, bhi, code, jcol))
+                valids.append(ok)
+        blo_all = jnp.stack([jnp.clip(e[0], 0, NB - 1)
+                             for e in entries], axis=1)        # [NC, 27]
+        bhi_all = jnp.stack([jnp.clip(e[1], 0, NB - 1)
+                             for e in entries], axis=1)
         sc_all = jnp.stack([e[2] for e in entries], axis=1)
-        val = jnp.stack(valids, axis=1)
-        nw = jnp.sum(val, axis=1).astype(jnp.int32)
+        jcol_all = jnp.stack([e[3] for e in entries], axis=1)
+        ok_all = jnp.stack(valids, axis=1)
+        # bin interval -> slot range, one gather each from the cum table
+        # (pads excluded from counts, so hi clips to the real run)
+        base = jcol_all * (NB + 1)
+        lo = col_start[jcol_all] + cum_flat[base + blo_all]
+        hi = col_start[jcol_all] + cum_flat[base + bhi_all + 1]
+        if triangular:
+            lo = jnp.maximum(lo, cl_start[:, None])
+        good = ok_all & (hi > lo)
+        lo_all = jnp.where(good, lo, 0)
+        hi_all = jnp.where(good, hi, 0)
+        sc_all = jnp.where(good, sc_all, 13)
+        nw = jnp.sum(good, axis=1).astype(jnp.int32)
         overflow = jnp.maximum(jnp.max(nw) - W_MAX, 0)
-        # compact valid entries to the front (stable sort by ~valid)
-        sort_key = jnp.where(val, 0, 1).astype(jnp.int32) * 4096 \
-            + jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
-        take = jnp.argsort(sort_key, axis=1)[:, :W_MAX]
-        wl = jnp.stack([jnp.take_along_axis(lo_all, take, axis=1),
-                        jnp.take_along_axis(hi_all, take, axis=1),
-                        jnp.take_along_axis(sc_all, take, axis=1)],
-                       axis=2).reshape(val.shape[0], -1)     # [NC, 3*W_MAX]
+        # compact valid entries to the front WITHOUT a per-row sort:
+        # pos = rank of each valid entry; one-hot select into W_MAX slots
+        pos = jnp.cumsum(good.astype(jnp.int32), axis=1) - 1   # [NC, 27]
+        kk = jnp.arange(W_MAX, dtype=jnp.int32)
+        sel = (good[:, :, None]
+               & (pos[:, :, None] == kk[None, None, :]))       # [NC,27,W]
+        sel_i = sel.astype(jnp.int32)
+        wl = jnp.stack([jnp.sum(sel_i * lo_all[:, :, None], axis=1),
+                        jnp.sum(sel_i * hi_all[:, :, None], axis=1),
+                        jnp.sum(sel_i * sc_all[:, :, None], axis=1)],
+                       axis=2).reshape(good.shape[0], -1)      # [NC, 3*W_MAX]
         nw = jnp.minimum(nw, W_MAX)
         return wl, nw, overflow.astype(jnp.int32)
 
@@ -379,14 +441,17 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
         cpl = alch
         eps4 = eps4 * cpl
     sig2 = sig * sig
-    r2_lj = jnp.maximum(r2s, (SIG_CLAMP * SIG_CLAMP) * sig2)
-    inv_r2lj = 1.0 / jnp.where(r2_lj > 0.0, r2_lj, 1.0)
-    s2 = sig2 * inv_r2lj
+    # sigma clamp in s^2 space: s2 = sig^2/max(r2, c^2 sig^2)
+    #                              = min(sig^2 * inv_r2, 1/c^2)
+    # — division-free (VPU divide measured ~26x an fma); flat (zero force)
+    # below the clamp
+    s2_raw = sig2 * inv_r2
+    s2 = jnp.minimum(s2_raw, _S2_MAX)
     s6 = s2 * s2 * s2
     s12 = s6 * s6
     e_lj = eps4 * (s12 - s6)
-    dlj = eps4 * (3.0 * s6 - 6.0 * s12) * inv_r2lj
-    dlj = jnp.where(r2s >= r2_lj, dlj, 0.0)   # flat below the clamp
+    dlj = jnp.where(s2_raw > _S2_MAX, 0.0,
+                    eps4 * (3.0 * s6 - 6.0 * s12) * inv_r2)
 
     kqq = qi * jq                         # inputs are q * sqrt(k_C)
     if alch is not None:
@@ -408,11 +473,12 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
     return coeff, None, None, dx, dy, dz
 
 
-def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
-            rc2, beta, coeffs, want_energy, n_lanes, has_alch):
+def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
+            rc2, beta, coeffs, want_energy, n_lanes, has_alch,
+            triangular=False):
     c = pl.program_id(0)
     crow = c - (c // 8) * 8      # row within this program's (8, W) wl block
-    irow = rows_ref[pl.ds(c * ICL, ICL), :]       # [ICL, 8]
+    irow = rows_ref[:, :]                         # [ICL, 8] (blocked)
     xi = irow[:, 0:1]
     yi = irow[:, 1:2]
     zi = irow[:, 2:3]
@@ -420,6 +486,7 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
     shi = irow[:, 4:5]
     sei = irow[:, 5:6]
     cmi = irow[:, 6:7] if has_alch else None
+    gi = irow[:, 7:8]            # exclusion-group id + 1 (0 = padded slot)
 
     lx = box_ref[0, 0]
     ly = box_ref[0, 1]
@@ -430,6 +497,13 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
     nw = wl_ref[crow, 0]
     zero = jnp.zeros((ICL, n_lanes), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1)
+    if triangular:
+        # zero the whole-array j-side accumulator once (grid is sequential)
+        @pl.when(c == 0)
+        def _init():
+            o2_ref[...] = jnp.zeros_like(o2_ref)
+        islot = c * ICL + jax.lax.broadcasted_iota(
+            jnp.int32, (ICL, 1), 0)
 
     def body(w, carry):
         fx, fy, fz, elj, ec = carry
@@ -449,9 +523,18 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
             fx, fy, fz, elj, ec = carry2
             start = pl.multiple_of((s0 + s) * n_lanes, n_lanes)
             gid = lane + start
-            # explicit masking: run bounds + padded-slot sentinel rows
+            # explicit masking: run bounds + padded-slot sentinel rows +
+            # exclusion groups (a rigid solvent molecule's sites share one
+            # group id; ALL its intra pairs are excluded, so masking here
+            # removes them from the direct sum entirely — no subtraction)
+            gj = pT_ref[7:8, pl.ds(start, n_lanes)]
             in_run = (gid >= lo) & (gid < hi)
-            jok = in_run & (pT_ref[7:8, pl.ds(start, n_lanes)] > 0.0)
+            jok = in_run & (gj > 0.0) & (gj != gi)
+            if triangular:
+                # strict upper triangle in slot order: with the
+                # lo >= cluster-start window clamp, every unordered pair
+                # is evaluated exactly once (Newton's 3rd law in o2)
+                jok = jok & (gid > islot)
             jx = pT_ref[0:1, pl.ds(start, n_lanes)] + shx
             jy = pT_ref[1:2, pl.ds(start, n_lanes)] + shy
             jz = pT_ref[2:3, pl.ds(start, n_lanes)]
@@ -470,6 +553,15 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
             fx = fx - (2.0 * coeff) * dx
             fy = fy - (2.0 * coeff) * dy
             fz = fz - (2.0 * coeff) * dz
+            if triangular:
+                # reaction on j: += 2 coeff d, reduced over the i sublanes
+                sl = pl.ds(start, n_lanes)
+                o2_ref[0:1, sl] = o2_ref[0:1, sl] + jnp.sum(
+                    (2.0 * coeff) * dx, axis=0, keepdims=True)
+                o2_ref[1:2, sl] = o2_ref[1:2, sl] + jnp.sum(
+                    (2.0 * coeff) * dy, axis=0, keepdims=True)
+                o2_ref[2:3, sl] = o2_ref[2:3, sl] + jnp.sum(
+                    (2.0 * coeff) * dz, axis=0, keepdims=True)
             if want_energy:
                 elj = elj + e_lj
                 ec = ec + e_c
@@ -483,22 +575,30 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, *,
     o_ref[:, 0:1] = jnp.sum(fx, axis=1, keepdims=True)
     o_ref[:, 1:2] = jnp.sum(fy, axis=1, keepdims=True)
     o_ref[:, 2:3] = jnp.sum(fz, axis=1, keepdims=True)
+    ehalf = 1.0 if triangular else 0.5   # triangular visits each pair once
     if want_energy:
-        o_ref[:, 3:4] = 0.5 * jnp.sum(elj, axis=1, keepdims=True)
-        o_ref[:, 4:5] = 0.5 * jnp.sum(ec, axis=1, keepdims=True)
+        o_ref[:, 3:4] = ehalf * jnp.sum(elj, axis=1, keepdims=True)
+        o_ref[:, 4:5] = ehalf * jnp.sum(ec, axis=1, keepdims=True)
     else:
         o_ref[:, 3:5] = jnp.zeros((ICL, 2), jnp.float32)
 
 
 def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
                            want_energy: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           triangular: bool = False):
     """Build direct(rows, pT, wl, nw, box, couple) -> (F_sorted [S,3],
     e_lj, e_c).
 
     rows: [S, 8] f32 sorted atom rows (x, y, z, q*sqrt(kC), sigma/2,
           2*sqrt(eps), couple_mask, pad)
     pT:   [8, S] f32, the same transposed
+
+    triangular=True pairs with make_window_fn(plan, triangular=True):
+    each unordered pair is evaluated in exactly one tile (half the pair
+    math); the reaction force accumulates into a whole-array [8, S] VMEM
+    accumulator via read-modify-write, which is race-free because the TPU
+    grid runs sequentially.
     """
     NC = plan.n_clusters
     S = plan.n_sorted
@@ -508,31 +608,43 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
 
     kernel = functools.partial(
         _kernel, rc2=rc2, beta=beta, coeffs=coeffs,
-        want_energy=want_energy, n_lanes=128, has_alch=has_alch)
+        want_energy=want_energy, n_lanes=128, has_alch=has_alch,
+        triangular=triangular)
 
     # SMEM row width padded to a multiple of 8 words (alignment-safe)
     _WL_W = ((3 * W_MAX + 1 + 7) // 8) * 8
 
     # wl rows: [nw, entry_0 .. entry_{W_MAX-1}]; blocked 8 clusters per
     # SMEM block (Mosaic requires sublane-dim blocks divisible by 8)
+    out_specs = pl.BlockSpec((ICL, 8), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((S, 8), jnp.float32)
+    if triangular:
+        out_specs = [out_specs,
+                     pl.BlockSpec((8, S), lambda c: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((8, S), jnp.float32)]
     grid_spec = pl.GridSpec(
         grid=(NC,),
         in_specs=[
             pl.BlockSpec((8, _WL_W), lambda c: (c // 8, 0),
                          memory_space=pltpu.SMEM),          # nw | (lo,hi)*
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # pT
+            # i-cluster rows BLOCKED per program: a full-array [S, 8] VMEM
+            # spec would be lane-padded to [S, 128] (~13 MB at 25k sites),
+            # starving the kernel of VMEM; the block is one (ICL, 8) tile
+            pl.BlockSpec((ICL, 8), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),          # rows (i side)
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # pT (j side)
             pl.BlockSpec((1, 8), lambda c: (0, 0),
                          memory_space=pltpu.SMEM),          # box/invbox/couple
         ],
-        out_specs=pl.BlockSpec((ICL, 128), lambda c: (c, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
 
     pc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )
 
@@ -548,8 +660,12 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
         if pad:
             wl_full = jnp.concatenate(
                 [wl_full, jnp.zeros((NC, pad), jnp.int32)], axis=1)
-        out = pc(wl_full, rows, pT, params)
-        f = out[:, :3]
+        if triangular:
+            out, o2 = pc(wl_full, rows, pT, params)
+            f = out[:, :3] + o2[:3].T
+        else:
+            out = pc(wl_full, rows, pT, params)
+            f = out[:, :3]
         e_lj = jnp.sum(out[:, 3])
         e_c = jnp.sum(out[:, 4])
         return f, e_lj, e_c
@@ -588,8 +704,7 @@ def pairlist_colpair_energy(x, box, idx, mask, q_kc, sig_half, eps_2sqrt,
     cpl = 1.0 - is_alch * (1.0 - couple)
     eps4 = eps4 * cpl
     sig2 = sig * sig
-    r2_lj = jnp.maximum(r2s, (SIG_CLAMP * SIG_CLAMP) * sig2)
-    s2 = sig2 / jnp.where(r2_lj > 0.0, r2_lj, 1.0)
+    s2 = jnp.minimum(sig2 * inv_r2, _S2_MAX)   # same clamp as the kernel
     s6 = s2 * s2 * s2
     s12 = s6 * s6
     e_lj = eps4 * (s12 - s6)

@@ -77,20 +77,47 @@ def config2_vacuum_peptide():
 
 
 def config4_docking():
-    """Rigid-receptor docking: 10k poses, poses/sec."""
+    """Rigid-receptor docking: 10k poses vs a pocket, poses/sec.
+
+    With MOLCHANICA_PDBBIND_ROOT set, the pocket + ligand come from the
+    first usable complex of a real PDBbind release (drug_design.pdbbind);
+    otherwise a pocket is cut from a built receptor (molecules.pocket) so
+    the same pocket-scoped scoring path is exercised."""
     from molchanica_tpu.docking.poses import init_poses
     from molchanica_tpu.docking.scorer import score_poses
     from molchanica_tpu.docking.setup import DockingSetup
     from molchanica_tpu.docking.site import DockingSite
+    from molchanica_tpu.drug_design.pdbbind import load_entries
     from molchanica_tpu.molecules.peptide import prepare_peptide
     from molchanica_tpu.molecules.peptide_builder import build_peptide
+    from molchanica_tpu.molecules.pocket import MoleculePocket
     from molchanica_tpu.molecules.smiles import from_smiles
 
-    rec = prepare_peptide(build_peptide("ACDEFGHIKLMNPQRSTVW" * 2))
-    center = np.asarray(rec.positions).mean(axis=0)
-    site = DockingSite(site_center=center, site_radius=8.0)
+    lig = None
+    pocket = None
+    source = "builtin_receptor"
+    for entry in load_entries(subset="any"):
+        if entry.pocket and entry.ligand_sdf:
+            from molchanica_tpu.io.sdf import read_sdf
+            ligmol = read_sdf(entry.ligand_sdf)
+            if isinstance(ligmol, list):
+                ligmol = ligmol[0]
+            pocket = MoleculePocket.from_file(entry.pocket,
+                                              pdb_id=entry.pdb_id,
+                                              ligand=ligmol)
+            lig = ligmol.to_spec(strict=False)
+            source = f"pdbbind:{entry.pdb_id}"
+            break
+    if pocket is None:
+        rec = prepare_peptide(build_peptide("ACDEFGHIKLMNPQRSTVW" * 2))
+        center = np.asarray(rec.positions).mean(axis=0)
+        site = DockingSite(site_center=center, site_radius=8.0)
+        lig = from_smiles("CC(=O)Nc1ccc(O)cc1").to_spec(strict=False)
+    else:
+        rec = pocket.mol.to_spec(strict=False)
+        c, r = pocket.docking_site()
+        site = DockingSite(site_center=c, site_radius=min(r, 10.0))
     setup = DockingSetup.new(rec, site)
-    lig = from_smiles("CC(=O)Nc1ccc(O)cc1").to_spec(strict=False)
     poses = init_poses(lig.positions, site, n_posits=16, n_orientations=40,
                        seed=1)[:10000]
     # compile
@@ -101,7 +128,8 @@ def config4_docking():
     el = time.perf_counter() - t0
     report("4_docking_10k_poses",
            n_poses=int(n), poses_per_sec=round(n / el, 1),
-           best_kcal=round(float(np.min(np.asarray(e))), 2))
+           best_kcal=round(float(np.min(np.asarray(e))), 2),
+           receptor=source)
 
 
 def config5_dna_and_screening():

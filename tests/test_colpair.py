@@ -73,12 +73,13 @@ def _dense_reference(xw, q, sig, eps, box, rc, beta, couple_mask=None,
             0.5 * np.where(valid, e_c, 0).sum(), F)
 
 
-def _run_colpair(x, q, sig, eps, box, rc, cm=None, couple=1.0, seed=0):
+def _run_colpair(x, q, sig, eps, box, rc, cm=None, couple=1.0, seed=0,
+                 triangular=False):
     n = x.shape[0]
     beta = ewald_beta_for(rc, 1e-5)
     plan = plan_columns(box, rc, beta, n, n, skin=0.5)
     sort = jax.jit(make_sort_fn(plan))
-    win = jax.jit(make_window_fn(plan))
+    win = jax.jit(make_window_fn(plan, triangular=triangular))
     boxj = jnp.asarray(box, jnp.float32)
     maskj = jnp.ones((n,), jnp.float32)
     perm, keys, col_start, ovf = sort(
@@ -88,9 +89,11 @@ def _run_colpair(x, q, sig, eps, box, rc, cm=None, couple=1.0, seed=0):
     q_kc = q * np.sqrt(COULOMB_CONST)
     cm_use = cm if cm is not None else np.zeros(n)
     xw = x - box * np.floor(x / box)
+    # last column = exclusion-group id + 1 (unique per atom here: no
+    # in-kernel exclusions; 0 marks the padded dummy row)
     base = np.concatenate([
         xw, np.stack([q_kc, sig / 2, 2 * np.sqrt(eps), cm_use,
-                      np.ones(n)], 1)], axis=1).astype(np.float32)
+                      1.0 + np.arange(n)], 1)], axis=1).astype(np.float32)
     base = np.concatenate(
         [base, np.array([[1e6, 1e6, 1e6, 0, 0, 0, 0, 0]], np.float32)], 0)
     rows = base[perm_np]
@@ -99,7 +102,8 @@ def _run_colpair(x, q, sig, eps, box, rc, cm=None, couple=1.0, seed=0):
                        jnp.asarray(mask_s), col_start)
     assert int(wovf) == 0
     direct = make_colpair_direct_fn(plan, has_alch=cm is not None,
-                                    want_energy=True, interpret=True)
+                                    want_energy=True, interpret=True,
+                                    triangular=triangular)
     f, e_lj, e_c = jax.jit(lambda r, p, w, nn: direct(
         r, p, w, nn, boxj, jnp.asarray(couple, jnp.float32)))(
         jnp.asarray(rows), jnp.asarray(rows.T.copy()), wl, nw)
@@ -114,6 +118,24 @@ def test_colpair_matches_dense_reference():
     rc = 6.0
     beta = ewald_beta_for(rc, 1e-5)
     e_lj, e_c, F, _ = _run_colpair(x, q, sig, eps, box, rc)
+    el_ref, ec_ref, F_ref = _dense_reference(
+        x - box * np.floor(x / box), q, sig, eps, box, rc, beta)
+    assert abs(e_lj - el_ref) / abs(el_ref) < 2e-5
+    assert abs(e_c - ec_ref) / max(abs(ec_ref), 1.0) < 2e-5
+    f_scale = np.abs(F_ref).max()
+    assert np.abs(F - F_ref).max() / f_scale < 5e-5
+
+
+def test_colpair_triangular_matches_dense():
+    """Newton-3rd-law kernel: half-pair window table + j-side VMEM
+    accumulator must reproduce the dense reference exactly like the
+    symmetric kernel does."""
+    box = np.array([21.0, 22.0, 23.0])
+    x, q, sig, eps = _random_system(600, box, seed=4)
+    rc = 6.0
+    beta = ewald_beta_for(rc, 1e-5)
+    e_lj, e_c, F, _ = _run_colpair(x, q, sig, eps, box, rc,
+                                   triangular=True)
     el_ref, ec_ref, F_ref = _dense_reference(
         x - box * np.floor(x / box), q, sig, eps, box, rc, beta)
     assert abs(e_lj - el_ref) / abs(el_ref) < 2e-5

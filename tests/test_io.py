@@ -107,3 +107,52 @@ def test_bond_inference(mol):
                        positions=mol.positions)
     m.infer_bonds()
     assert sorted(m.bonds) == sorted(mol.bonds)
+
+
+def test_xtc_roundtrip(tmp_path):
+    from molchanica_tpu.io.xtc import XtcFrame, write_xtc, read_xtc
+    rng = np.random.default_rng(3)
+    p = tmp_path / "t.xtc"
+    frames = [
+        XtcFrame(step=10 * i, time_ps=0.002 * i,
+                 box_extent=np.array([28.0, 30.0, 32.0]),
+                 positions=rng.uniform(0, 30, (150, 3)))
+        for i in range(4)
+    ]
+    write_xtc(frames, p)
+    back = read_xtc(p)
+    assert len(back) == 4
+    for a, b in zip(frames, back):
+        assert b.step == a.step
+        assert abs(b.time_ps - a.time_ps) < 1e-6
+        np.testing.assert_allclose(b.box_extent, a.box_extent, atol=1e-4)
+        # precision=1000/nm -> 0.001 nm = 0.01 A quantization
+        np.testing.assert_allclose(b.positions, a.positions, atol=6e-3)
+
+
+def test_xtc_small_frame_uncompressed(tmp_path):
+    from molchanica_tpu.io.xtc import XtcFrame, write_xtc, read_xtc
+    pos = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0]])
+    data = write_xtc([XtcFrame(step=0, time_ps=0.0, box_extent=None,
+                               positions=pos)])
+    back = read_xtc(data)
+    assert back[0].box_extent is None
+    np.testing.assert_allclose(back[0].positions, pos, atol=1e-4)
+
+
+def test_xtc_trajectory_save_load(tmp_path):
+    from molchanica_tpu.md.trajectory import Trajectory
+    from molchanica_tpu.md.snapshot import Snapshot
+    rng = np.random.default_rng(7)
+    snaps = [Snapshot(time=k * 0.002,
+                      atom_posits=rng.uniform(0, 20, (40, 3)),
+                      box_extent=np.array([20.0, 20.0, 20.0]))
+             for k in range(3)]
+    traj = Trajectory.from_memory(snaps)
+    p = str(tmp_path / "t.xtc")
+    traj.save_xtc(p)
+    t2 = Trajectory.open(p)
+    assert t2.n_frames == 3
+    back = t2.load_snaps()
+    np.testing.assert_allclose(back[2].atom_posits,
+                               snaps[2].atom_posits, atol=6e-3)
