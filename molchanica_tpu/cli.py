@@ -100,6 +100,11 @@ def handle_cmd(state: CliState, line: str) -> str:
     m = re.match(r"^select\s+elem\s+(\w+)$", line, re.I)
     if m:
         return _select(state, "elem", m.group(1))
+    m = re.match(r"^select\s+(.+)$", line, re.I)
+    if m:
+        # full PyMol-style expression (selection.py): booleans, within,
+        # byres, name/chain/index/hetatm/... — ref src/selection.rs
+        return _select_expr(state, m.group(1).strip())
     if re.match(r"^remove\s+(sel|selection)$", low):
         return _remove_selection(state)
     m = re.match(r"^show(\s+.*)?$", line, re.I)
@@ -193,6 +198,16 @@ def _select(state: CliState, kind: str, value: str) -> str:
         sel = [i for i, e in enumerate(mol.elements)
                if e.upper() == value.upper()]
     state.selection = sel
+    return _sel_name(state)
+
+
+def _select_expr(state: CliState, expr: str) -> str:
+    from .selection import SelectionError, select_indices
+    mol = state.active_mol()
+    try:
+        state.selection = select_indices(mol, expr)
+    except SelectionError as e:
+        raise CliError(f"selection: {e}")
     return _sel_name(state)
 
 

@@ -237,6 +237,77 @@ def make_sort_fn(plan: ColPlan):
     return sort
 
 
+def make_anchor_sort_fn(plan: ColPlan, anchor_ids, sizes, atom_mask_base):
+    """Molecule-anchor column sort: argsort over ANCHORS (one key per
+    molecule block / free atom) instead of per-site keys, then expand each
+    anchor to its `size` consecutive slots. Blocking is by construction —
+    no stability argument needed — and the argsort shrinks ~3x for water
+    systems (XLA TPU sort measured 6.5 ms at 26k keys vs ~2 ms at 9k).
+
+    Static args (base order): anchor_ids [A] int (first site of each
+    block), sizes [A] int (3/4 for waters, 1 otherwise), atom_mask_base.
+    Returns sort(x_base, box) -> (perm [S] base ids (n_base = dummy),
+    key_sorted [S], col_start [n_cols+1], overflow).
+    """
+    nx, ny = plan.nx, plan.ny
+    S = plan.n_sorted
+    n_base = plan.n_base
+    n_cols = plan.n_cols
+    zmax = (1 << ZBITS) - 1
+    aid_np = np.asarray(anchor_ids, np.int64)
+    sz_np = np.asarray(sizes, np.int64)
+    msk_np = np.asarray(atom_mask_base)[aid_np] > 0
+    aid = jnp.asarray(aid_np.astype(np.int32))
+    sz = jnp.asarray(np.where(msk_np, sz_np, 0).astype(np.int32))
+    msk = jnp.asarray(msk_np)
+    max_sz = int(sz_np.max()) if sz_np.size else 1
+
+    def sort(x_base, box):
+        xa = x_base[aid]
+        u = xa / box
+        u = u - jnp.floor(u)
+        cx = jnp.minimum((u[:, 0] * nx).astype(jnp.int32), nx - 1)
+        cy = jnp.minimum((u[:, 1] * ny).astype(jnp.int32), ny - 1)
+        zb = jnp.minimum((u[:, 2] * (zmax + 1)).astype(jnp.int32), zmax)
+        col = jnp.where(msk, cx * ny + cy, n_cols)
+        key = (col << ZBITS) | jnp.where(msk, zb, 0)
+        order = jnp.argsort(key).astype(jnp.int32)
+        key_s = key[order]
+        col_s = col[order]
+        size_s = sz[order]
+        base_s = aid[order]
+        atom_rank = jnp.cumsum(size_s) - size_s          # exclusive [A]
+        total = atom_rank[-1] + size_s[-1]
+        col_first = jnp.searchsorted(
+            col_s, jnp.arange(n_cols + 1, dtype=jnp.int32)).astype(jnp.int32)
+        atom_rank_ext = jnp.concatenate([atom_rank, total[None]])
+        atoms_before = atom_rank_ext[col_first]          # [n_cols+1]
+        cnt = atoms_before[1:] - atoms_before[:-1]
+        pcnt = ((cnt + ICL - 1) // ICL) * ICL
+        col_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(pcnt).astype(jnp.int32)])
+        overflow = jnp.maximum(col_start[-1] - S, 0)
+        c_of = jnp.clip(col_s, 0, n_cols - 1)
+        slot_a = col_start[c_of] + (atom_rank - atoms_before[c_of])
+        valid = col_s < n_cols
+        slot_col = jnp.searchsorted(
+            col_start[1:], jnp.arange(S, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        pad_key = (jnp.minimum(slot_col, n_cols - 1) << ZBITS) | zmax
+        perm = jnp.full((S + 1,), n_base, jnp.int32)
+        key_sorted = jnp.concatenate(
+            [pad_key, jnp.zeros((1,), jnp.int32)])
+        for k in range(max_sz):
+            m = valid & (k < size_s)
+            sl = jnp.where(m, jnp.clip(slot_a + k, 0, S - 1), S)
+            perm = perm.at[sl].set(jnp.where(m, base_s + k, n_base))
+            key_sorted = key_sorted.at[sl].set(key_s)
+        return perm[:S], key_sorted[:S], col_start, overflow.astype(jnp.int32)
+
+    return sort
+
+
 def make_window_fn(plan: ColPlan, triangular: bool = False):
     """windows(x_sorted, keys_sorted, box, atom_mask_sorted)
     -> (wl [NC, 3*W_MAX] int32, nw [NC] int32, overflow int32).

@@ -225,7 +225,15 @@ def make_topology(
     hc_r0 = np.zeros((cp, 3), np.float64)
     for r, (heavy, hs, r0s) in enumerate(hclusters):
         hc_heavy[r] = heavy
-        for ci, (h, r0) in enumerate(zip(hs, r0s)):
+        if len(hs) > 3:
+            # star M-SHAKE solves a 3x3 system per cluster; a 4-H center
+            # (e.g. methane) keeps its first three X-H bonds constrained
+            # and leaves the rest flexible rather than failing to build
+            import warnings
+            warnings.warn(
+                f"H-cluster at atom {heavy} has {len(hs)} hydrogens; "
+                "only 3 are constrained (star M-SHAKE limit)")
+        for ci, (h, r0) in enumerate(zip(hs[:3], r0s[:3])):
             hc_h[r, ci] = h
             hc_r0[r, ci] = r0
 
