@@ -1,0 +1,77 @@
+"""Spatial domain decomposition over the 8-device CPU mesh
+(SURVEY §2.4/§7 stage 10; VERDICT round-2 item 6)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from molchanica_tpu.parallel.spatial import (make_spatial_force_fn,
+                                             partition_slabs,
+                                             spatial_reference_force)
+
+
+@pytest.fixture(scope="module")
+def system():
+    rng = np.random.default_rng(5)
+    n = 800
+    box = np.array([48.0, 16.0, 16.0])    # long x axis: 8 slabs of 6 A
+    x = rng.uniform(0, 1, (n, 3)) * box
+    q = rng.normal(0, 0.3, n)
+    sig = rng.uniform(1.2, 1.7, n)        # sigma/2
+    eps = rng.uniform(0.1, 0.6, n)        # 2 sqrt(eps)
+    return x, q, sig, eps, box
+
+
+def test_spatial_forces_match_single_device(system):
+    x, q, sig, eps, box = system
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+    rc = 5.5                               # < slab width 6
+    xs, mask, owner = partition_slabs(x, box, n_dev)
+    cap = xs.shape[1]
+
+    def grp(a):
+        out = np.zeros((n_dev, cap), np.float32)
+        for d in range(n_dev):
+            ids = owner[d][owner[d] >= 0]
+            out[d, :len(ids)] = a[ids]
+        return jnp.asarray(out)
+
+    qs, ss, es = grp(q), grp(sig), grp(eps)
+    fn = jax.jit(make_spatial_force_fn(mesh, "x", box, rc))
+    e_sh, f_sh = fn(jnp.asarray(xs), jnp.asarray(mask), qs, ss, es)
+    e_sh = np.asarray(e_sh)
+    assert np.allclose(e_sh, e_sh[0])      # psum total equal on all shards
+
+    # single-device dense reference on the SAME wrapped coordinates
+    flat_ids = owner.reshape(-1)
+    keep = flat_ids >= 0
+    x_flat = np.asarray(xs).reshape(-1, 3)
+    m_flat = np.asarray(mask).reshape(-1)
+    e_ref, f_ref = spatial_reference_force(
+        jnp.asarray(x_flat), jnp.asarray(m_flat),
+        grp(q).reshape(-1), grp(sig).reshape(-1), grp(eps).reshape(-1),
+        box, rc)
+    assert abs(float(e_sh[0]) - float(e_ref)) / abs(float(e_ref)) < 1e-5
+
+    f_sh_flat = np.asarray(f_sh).reshape(-1, 3)
+    f_ref = np.asarray(f_ref)
+    scale = np.abs(f_ref).max()
+    d = np.abs(f_sh_flat[keep] - f_ref[keep]).max()
+    assert d / scale < 1e-5, f"force mismatch {d/scale:.2e}"
+
+
+def test_partition_slabs_roundtrip(system):
+    x, q, sig, eps, box = system
+    xs, mask, owner = partition_slabs(x, box, 8)
+    ids = owner[owner >= 0]
+    assert sorted(ids.tolist()) == list(range(len(x)))
+    # every owned atom sits inside its slab
+    w = box[0] / 8
+    for d in range(8):
+        own = owner[d] >= 0
+        if own.any():
+            assert (xs[d, own, 0] >= d * w - 1e-5).all()
+            assert (xs[d, own, 0] <= (d + 1) * w + 1e-5).all()
