@@ -53,16 +53,21 @@ def builtin_smiles(limit: int = 720) -> List[str]:
     return out
 
 
-def load_csv_dataset(path, smiles_col="Drug", label_col="Y"
+def load_csv_dataset(path, smiles_col=None, label_col=None
                      ) -> Tuple[List[str], np.ndarray]:
-    """TDC-format CSV loader (drop-in for downloaded datasets)."""
+    """CSV loader for TDC downloads ('Drug','Y') and embedded datasets
+    ('smiles','y') — columns auto-detected unless given."""
     import csv
 
     smiles, y = [], []
     with open(path) as f:
-        for row in csv.DictReader(f):
-            smiles.append(row[smiles_col])
-            y.append(float(row[label_col]))
+        reader = csv.DictReader(f)
+        fields = reader.fieldnames or []
+        sc = smiles_col or ("Drug" if "Drug" in fields else "smiles")
+        lc = label_col or ("Y" if "Y" in fields else "y")
+        for row in reader:
+            smiles.append(row[sc])
+            y.append(float(row[lc]))
     return smiles, np.asarray(y)
 
 

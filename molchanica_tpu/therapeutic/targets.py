@@ -86,6 +86,20 @@ for _n, _f, _d in _REG:
 for _n, _f, _d in _CLS:
     TARGETS[_n] = TargetSpec(_n, True, _f, _d)
 
+# --- measured-data targets -------------------------------------------------
+# EXPERIMENTAL labels shipped with the package (no network needed): maps
+# target name -> CSV relative to this module. logp_experimental is ~100
+# compounds with literature octanol/water logP (Hansch-Leo-compilation
+# standard values) — features come from structure, labels from MEASUREMENT,
+# so the model is predicting something its featurizer does not compute
+# (unlike the proxy targets above, which are honest plumbing tests only).
+EXPERIMENTAL_DATA: Dict[str, str] = {
+    "logp_experimental": "data/logp_experimental.csv",
+}
+TARGETS["logp_experimental"] = TargetSpec(
+    "logp_experimental", False, _clogp,
+    "experimental octanol/water logP (embedded literature dataset)")
+
 
 def compute_labels(spec: TargetSpec, mols) -> np.ndarray:
     from ..molecules.characterization import characterize

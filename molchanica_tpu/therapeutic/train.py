@@ -43,6 +43,12 @@ def train_target(name: str, csv: Optional[str] = None,
     measured labels.
     """
     spec = TARGETS[name]
+    if csv is None:
+        # measured-data targets ship their dataset with the package
+        from .targets import EXPERIMENTAL_DATA
+        if name in EXPERIMENTAL_DATA:
+            csv = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               EXPERIMENTAL_DATA[name])
     if csv is not None:
         smiles, y = load_csv_dataset(csv)
         mols, keep = _mols_from_smiles(smiles)
