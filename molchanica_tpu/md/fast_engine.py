@@ -1041,6 +1041,24 @@ class FastSim:
         self.state = self.state.replace(
             couple=jnp.asarray(1.0 - lam, jnp.float32))
 
+    def dhdl(self) -> float:
+        """dH/dlambda at the current state (central finite difference on
+        couple — the pallas kernel has no VJP; MdSim's pallas backend uses
+        the same scheme, engine.py dhdl_fn). lambda = 1 - couple."""
+        if not self._has_alch:
+            return 0.0
+        if not hasattr(self, "_dhdl_fn"):
+            force = self._make_force_fn(None)
+
+            def fn(st):
+                h = jnp.asarray(1e-3, jnp.float32)
+                ep = force(st.x, st.replace(couple=st.couple + h))[1][0]
+                em = force(st.x, st.replace(couple=st.couple - h))[1][0]
+                return -(ep - em) / (2.0 * h)
+
+            self._dhdl_fn = jax.jit(fn)
+        return float(self._dhdl_fn(self.state))
+
     def temperature(self) -> float:
         st = self.state
         v = np.asarray(st.v)

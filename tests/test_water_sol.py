@@ -41,3 +41,26 @@ def test_run_sol_sim_tiny():
     # fully decoupled window: particle sees nothing, dH/dl driven by the
     # softcore turn-on; finite either way
     assert props.mean_n_water_contacts >= 0.0
+
+
+def test_run_sol_sim_fast_tiny():
+    """FastSim-engine TI (VERDICT round-2 item 4): sequential lambda
+    windows on the production colpair path, protocol shape identical."""
+    from molchanica_tpu.properties.water_sol import run_sol_sim_fast
+
+    props = run_sol_sim_fast(
+        _tiny_solute(),
+        box_side=24.0,
+        lambdas=[0.0, 0.5, 1.0],
+        equil_steps=16,
+        prod_steps=24,
+        dt_ps=0.001,
+        dhdl_interval=8,
+        seed=1,
+        cfg_overrides=dict(lj_cutoff=6.0, coulomb_cutoff=6.0,
+                           pme_grid=(24, 24, 24)),
+    )
+    assert isinstance(props, WaterSolMdProperties)
+    assert np.isfinite(props.dg_hydration_kcal)
+    assert len(props.windows) == 3
+    assert all(len(w.dhdl_samples) == 3 for w in props.windows)
