@@ -193,7 +193,54 @@ class MdConfig:
     # scan-compiled step chunks (one dispatch per chunk — required through
     # high-latency device relays); False = one jitted program per step
     use_scan_chunks: bool = True
+    # jax.profiler trace output directory (first-class profiling hook:
+    # run() wraps stepping in jax.profiler.trace when set; view with
+    # tensorboard or xprof)
+    trace_dir: Optional[str] = None
     seed: int = 0
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
+
+    # --- persistence (reference MdPrefs persists the whole MdConfig,
+    # src/prefs/mod.rs:188; here: plain JSON round-trip) ---
+    def to_json(self) -> str:
+        import json
+        return json.dumps(dataclasses.asdict(self), indent=1)
+
+    @staticmethod
+    def from_json(text: str) -> "MdConfig":
+        import json
+        d = json.loads(text)
+
+        def mk(cls, v):
+            return cls(**v) if v is not None else None
+
+        d["integrator"] = mk(Integrator, d.get("integrator"))
+        d["barostat_cfg"] = mk(BarostatCfg, d.get("barostat_cfg"))
+        d["sim_box"] = mk(SimBoxInit, d.get("sim_box"))
+        d["solvent"] = mk(Solvent, d.get("solvent"))
+        d["hydrogen_constraint"] = mk(HydrogenConstraint,
+                                      d.get("hydrogen_constraint"))
+        d["overrides"] = mk(MdOverrides, d.get("overrides"))
+        sh = d.get("snapshot_handlers")
+        if sh is not None:
+            sh["gromacs"] = mk(OutputControl, sh.get("gromacs"))
+            d["snapshot_handlers"] = SnapshotHandlers(**sh)
+        if d.get("pme_grid") is not None:
+            d["pme_grid"] = tuple(d["pme_grid"])
+        sb = d.get("sim_box")
+        if sb is not None and sb.bounds is not None:
+            d["sim_box"] = dataclasses.replace(
+                sb, bounds=tuple(tuple(b) for b in sb.bounds))
+        return MdConfig(**d)
+
+    def save(self, path) -> str:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+        return str(path)
+
+    @staticmethod
+    def load(path) -> "MdConfig":
+        with open(path) as f:
+            return MdConfig.from_json(f.read())

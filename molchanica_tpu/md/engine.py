@@ -568,6 +568,8 @@ class MdSim:
         src/md/mod.rs:716 — dt in ps). `force_cap` clamps per-atom forces
         (kcal/mol/A) — equilibration aid."""
         t0 = time.perf_counter()
+        self._sim_time_ps = getattr(self, "_sim_time_ps", 0.0) \
+            + dt_ps * n_steps
         if self._hostloop_nbr and not self.cfg.use_scan_chunks:
             for attempt in range(3):
                 saved = self.state
@@ -617,18 +619,39 @@ class MdSim:
         Snapshots are appended to self.snapshots every `snapshot_interval`
         steps (cfg.snapshot_handlers.memory by default).
         """
+        import contextlib
+
+        import jax as _jax
+        trace = (_jax.profiler.trace(self.cfg.trace_dir)
+                 if self.cfg.trace_dir else contextlib.nullcontext())
         if snapshot_interval is None:
             snapshot_interval = self.cfg.snapshot_handlers.memory or n_steps
         chunk = min(self.cfg.steps_per_chunk, snapshot_interval)
         # align chunks to snapshot boundaries
         done = 0
-        while done < n_steps:
-            todo = min(chunk, n_steps - done)
-            self.step(dt_ps, todo)
-            done += todo
-            if collect and done % snapshot_interval == 0:
-                self._record_snapshot(dt_ps)
+        with trace:
+            while done < n_steps:
+                todo = min(chunk, n_steps - done)
+                self.step(dt_ps, todo)
+                done += todo
+                if collect and done % snapshot_interval == 0:
+                    self._record_snapshot(dt_ps)
         return self.snapshots
+
+    def metrics(self) -> dict:
+        """Structured run metrics (step rate as a first-class metric —
+        SURVEY §5 metrics/observability)."""
+        wall = max(self._wall_time, 1e-12)
+        sim_ps = getattr(self, "_sim_time_ps", 0.0)
+        return {
+            "steps": int(self.step_count),
+            "wall_s": round(wall, 4),
+            "sim_ps": round(sim_ps, 4),
+            "ms_per_step": round(1000.0 * wall
+                                 / max(int(self.step_count), 1), 4),
+            "ns_per_day": round(sim_ps / 1000.0 / wall * 86400.0, 3),
+            "n_sites": int(self.top.n_atoms_real),
+        }
 
     def _record_snapshot(self, dt_ps):
         from .snapshot import snapshot_from_state

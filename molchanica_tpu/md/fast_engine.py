@@ -953,6 +953,8 @@ class FastSim:
     def step(self, dt_ps: float, n_steps: int = 1, record_energy=False,
              force_cap=None):
         t0 = time.perf_counter()
+        self._sim_time_ps = getattr(self, "_sim_time_ps", 0.0) \
+            + dt_ps * n_steps
         k = min(self.cfg.neighbor_rebuild_every, n_steps)
         energies = []
         done = 0
@@ -985,16 +987,34 @@ class FastSim:
 
     def run(self, dt_ps: float, n_steps: int,
             snapshot_interval: Optional[int] = None, collect=True):
+        import contextlib
+        trace = (jax.profiler.trace(self.cfg.trace_dir)
+                 if self.cfg.trace_dir else contextlib.nullcontext())
         if snapshot_interval is None:
             snapshot_interval = self.cfg.snapshot_handlers.memory or n_steps
         done = 0
-        while done < n_steps:
-            todo = min(snapshot_interval, n_steps - done)
-            self.step(dt_ps, todo)
-            done += todo
-            if collect:
-                self._record_snapshot(dt_ps)
+        with trace:
+            while done < n_steps:
+                todo = min(snapshot_interval, n_steps - done)
+                self.step(dt_ps, todo)
+                done += todo
+                if collect:
+                    self._record_snapshot(dt_ps)
         return self.snapshots
+
+    def metrics(self) -> dict:
+        """Structured run metrics (step rate as a first-class metric —
+        SURVEY §5 metrics/observability)."""
+        wall = max(self._wall_time, 1e-12)
+        sim_ps = getattr(self, "_sim_time_ps", 0.0)
+        return {
+            "steps": int(self.step_count),
+            "wall_s": round(wall, 4),
+            "sim_ps": round(sim_ps, 4),
+            "ms_per_step": round(1000.0 * wall / max(self.step_count, 1), 4),
+            "ns_per_day": round(sim_ps / 1000.0 / wall * 86400.0, 3),
+            "n_sites": int(self.top.n_atoms_real),
+        }
 
     # ------------------------------------------------------------------
     def positions_unsorted(self):
