@@ -878,18 +878,29 @@ class FastSim:
         cp, cv = self._make_cp_cv()
         force = self._make_force_fn(None)
 
-        def chunk(st: FastState):
-            st = self._rebuild(st)
+        def make_one(st):
             force_st = lambda x, box, couple: force(x, st)
             cp_st = (lambda xn, xr: cp(xn, xr, st)) if cp else None
             cv_st = (lambda v, x: cv(v, x, st)) if cv else None
-            one = make_integrator_step(
+            return make_integrator_step(
                 force_st, st.masses, st.dof, cfg.integrator.kind, dt=dt,
                 temp_target=cfg.temp_target,
                 thermostat_tau=cfg.integrator.thermostat_tau,
                 gamma=cfg.integrator.gamma,
                 constrain_positions=cp_st, constrain_velocities=cv_st,
                 n_constraints=self.n_constraints, force_cap=force_cap)
+
+        def finish(st, x, v, f, k, e_last, terms):
+            if cfg.zero_com_drift:
+                v = remove_com_drift(v, st.masses, st.dof)
+            ke = kinetic_energy(v, st.masses, st.dof)
+            return st.replace(x=x, v=v, f=f, rng_key=k,
+                              step=st.step + k_steps,
+                              pe_last=e_last, ke_last=ke), terms
+
+        def chunk(st: FastState):
+            st = self._rebuild(st)
+            one = make_one(st)
 
             def body(carry, _):
                 x, v, f, k = carry
@@ -900,16 +911,40 @@ class FastSim:
             # (rebuild permutes it), so each step costs exactly one eval.
             (x, v, f, k), (es, terms_s) = jax.lax.scan(
                 body, (st.x, st.v, st.f, st.rng_key), None, length=k_steps)
-            if cfg.zero_com_drift:
-                v = remove_com_drift(v, st.masses, st.dof)
             terms = jax.tree.map(lambda a: a[-1], terms_s)
-            ke = kinetic_energy(v, st.masses, st.dof)
-            st = st.replace(x=x, v=v, f=f, rng_key=k,
-                            step=st.step + k_steps,
-                            pe_last=es[-1], ke_last=ke)
+            st, terms = finish(st, x, v, f, k, es[-1], terms)
             return st, terms, es
 
-        fn = jax.jit(chunk)
+        import os
+        if os.environ.get("MOLCHANICA_FASTSIM_SCAN", "1") == "1":
+            fn = jax.jit(chunk)
+        else:
+            # Host-stepped fallback: one jitted single-step program called
+            # k_steps times per rebuild — no pallas call inside lax.scan
+            # (the axon relay compiler has been seen to miscompile
+            # long-scan pallas programs; see docs/PERF.md). Costs one
+            # dispatch per step.
+            def single(st: FastState):
+                one = make_one(st)
+                x, v, f, e, terms, k = one(st.x, st.v, st.f, st.box,
+                                           st.couple, st.rng_key)
+                return st.replace(x=x, v=v, f=f, rng_key=k,
+                                  pe_last=e), e, terms
+
+            single_jit = jax.jit(single)
+
+            def fn_host(st: FastState):
+                st = self._rebuild_jit(st)
+                es = []
+                terms = None
+                for _ in range(k_steps):
+                    st, e, terms = single_jit(st)
+                    es.append(e)
+                st, terms = finish(st, st.x, st.v, st.f, st.rng_key,
+                                   es[-1], terms)
+                return st, terms, jnp.stack(es)
+
+            fn = fn_host
         self._chunk_cache[key] = fn
         return fn
 

@@ -72,6 +72,19 @@ class FunctionalGroups:
     nitro: int = 0
     halogen: int = 0
     aromatic_ring: int = 0
+    # census depth matching the reference FunctionalGroups fields
+    # (mol_characterization.rs:48-77)
+    pyridine_n: int = 0         # aromatic N, lone pair NOT in the sextet
+    pyrrole_nh: int = 0         # aromatic N-H, lone pair IN the sextet
+    imine: int = 0              # non-aromatic C=N nitrogen
+    carboxylate: int = 0        # C with two H-free terminal oxygens
+    sulfonamide: int = 0        # N on one sulfonyl S (R-SO2-N)
+    sulfonimide: int = 0        # N between two sulfonyl S
+    hydrophobic_carbon: int = 0  # C with only C/H neighbors
+    fluorine: int = 0
+    chlorine: int = 0
+    bromine: int = 0
+    iodine: int = 0
 
 
 @dataclass
@@ -91,6 +104,7 @@ class MolCharacterization:
     clogp: float = 0.0                # Crippen-style
     molar_refractivity: float = 0.0
     wiener_index: int = 0
+    bertz_ct: float = 0.0             # Bertz-style complexity index
     functional_groups: FunctionalGroups = field(
         default_factory=FunctionalGroups)
     formal_charge: int = 0
@@ -109,10 +123,15 @@ class MolCharacterization:
             fg.amine, fg.amide, fg.carboxylic_acid, fg.ester, fg.carbonyl,
             fg.hydroxyl, fg.ether, fg.thiol, fg.sulfide, fg.nitrile,
             fg.nitro, fg.halogen, self.formal_charge,
+            # round-3 census depth (mirrors the reference field set)
+            np.log1p(self.bertz_ct),
+            fg.pyridine_n, fg.pyrrole_nh, fg.imine, fg.carboxylate,
+            fg.sulfonamide, fg.sulfonimide, fg.hydrophobic_carbon,
+            fg.fluorine, fg.chlorine, fg.bromine, fg.iodine,
         ], np.float32)
 
 
-FEATURE_DIM = 28
+FEATURE_DIM = 40
 
 
 def find_rings(n: int, bonds: Sequence[Tuple[int, int]],
@@ -381,6 +400,68 @@ def characterize(mol: MoleculeCommon) -> MolCharacterization:
                        and len(heavy_nbrs(j)) == 1) >= 2]
     fg.nitro = len(nitro_n)
 
+    # --- census depth (reference mol_characterization.rs:48-77) ---
+    def is_sulfonyl_s(s):
+        return el[s] == "S" and sum(
+            1 for k in adj[s]
+            if el[k] == "O" and order_of.get((s, k), 1) >= 2) >= 2
+
+    for i in range(n):
+        e = el[i]
+        if e == "N":
+            if i in aromatic_atoms:
+                if n_h(i) > 0:
+                    fg.pyrrole_nh += 1
+                elif len(heavy_nbrs(i)) == 2:
+                    fg.pyridine_n += 1
+            else:
+                if any(el[j] == "C" and order_of.get((i, j), 1) >= 2
+                       for j in adj[i]):
+                    fg.imine += 1
+                s_sulfonyl = sum(1 for j in heavy_nbrs(i)
+                                 if is_sulfonyl_s(j)
+                                 and order_of.get((i, j), 1) == 1.0)
+                if s_sulfonyl >= 2:
+                    fg.sulfonimide += 1
+                elif s_sulfonyl == 1:
+                    fg.sulfonamide += 1
+        elif e == "C":
+            term_o = [j for j in adj[i]
+                      if el[j] == "O" and len(heavy_nbrs(j)) == 1]
+            if (len(term_o) == 2 and all(n_h(j) == 0 for j in term_o)
+                    and any(order_of.get((i, j), 1) >= 1.5
+                            for j in term_o)):
+                fg.carboxylate += 1
+            if adj[i] and all(el[j] in ("C", "H") for j in adj[i]):
+                fg.hydrophobic_carbon += 1
+        elif e == "F":
+            fg.fluorine += 1
+        elif e == "Cl":
+            fg.chlorine += 1
+        elif e == "Br":
+            fg.bromine += 1
+        elif e == "I":
+            fg.iodine += 1
+
+    # Bertz-style complexity: first-order information content of the
+    # heavy-atom connectivity multigraph (reference bertz_ct,
+    # mol_characterization.rs:1919): 2 B log2 B - sum_k b_k log2 b_k over
+    # bond equivalence classes keyed by (element, degree) endpoints.
+    import math as _math
+    classes = {}
+    b_total = 0
+    for (i, j) in heavy_bonds:
+        o = order_of.get((i, j), 1.0)
+        key = tuple(sorted([(el[i], len(heavy_nbrs(i))),
+                            (el[j], len(heavy_nbrs(j)))])) + (o,)
+        classes[key] = classes.get(key, 0) + 1
+        b_total += 1
+    if b_total:
+        bertz = 2.0 * b_total * _math.log2(b_total) - sum(
+            c * _math.log2(c) for c in classes.values() if c > 0)
+    else:
+        bertz = 0.0
+
     formal = int(sum(mol.formal_charges)) if mol.formal_charges else 0
 
     return MolCharacterization(
@@ -389,4 +470,5 @@ def characterize(mol: MoleculeCommon) -> MolCharacterization:
         rotatable_bonds=rot, flexibility=flexibility,
         h_bond_donors=donors, h_bond_acceptors=acceptors, f_csp3=f_csp3,
         tpsa=tpsa, clogp=clogp, molar_refractivity=mr,
-        wiener_index=wiener, functional_groups=fg, formal_charge=formal)
+        wiener_index=wiener, bertz_ct=bertz, functional_groups=fg,
+        formal_charge=formal)

@@ -49,7 +49,7 @@ def test_aspirin_characterization():
     assert 30.0 < c.tpsa < 90.0       # aspirin TPSA = 63.6
     assert len(c.rotatable_bonds) >= 2
     v = c.feature_vector()
-    assert v.shape == (28,) and np.isfinite(v).all()
+    assert v.shape == (40,) and np.isfinite(v).all()
 
 
 def test_smiles_roundtrip_topology():
