@@ -67,6 +67,84 @@ def _clearance_proxy(ch, mol):
     return 2.0 + 0.4 * ch.clogp - 0.01 * ch.tpsa
 
 
+def _ppbr_proxy(ch, mol):
+    # plasma protein binding rises with lipophilicity + aromatics
+    return min(99.0, 45.0 + 12.0 * min(ch.clogp, 5.0)
+               + 4.0 * ch.n_aromatic_rings - 0.1 * ch.tpsa)
+
+
+def _vdss_proxy(ch, mol):
+    # log VDss grows with lipophilicity + basic amines, falls with TPSA
+    return (-0.4 + 0.25 * ch.clogp
+            + 0.4 * ch.functional_groups.amine - 0.005 * ch.tpsa)
+
+
+def _ld50_proxy(ch, mol):
+    # log(1/LD50)-style toxicity proxy: reactive/halogenated/large
+    return (1.8 + 0.1 * ch.clogp + 0.08 * ch.functional_groups.halogen
+            + 0.15 * ch.functional_groups.nitro)
+
+
+def _fu_hydration_proxy(ch, mol):
+    # FreeSolv-style hydration dG: polar groups solvate, hydrophobes don't
+    return (-2.0 - 0.35 * ch.tpsa / 10.0 - 1.2 * ch.h_bond_donors
+            + 0.9 * min(ch.clogp, 6.0))
+
+
+def _pampa_class(ch, mol):
+    return 1.0 if (ch.tpsa < 100.0 and -1.0 < ch.clogp < 5.5) else 0.0
+
+
+def _pgp_class(ch, mol):
+    return 1.0 if (ch.mol_weight > 400 and ch.h_bond_acceptors >= 6) \
+        else 0.0
+
+
+def _cyp_class(thresh_logp, thresh_arom):
+    def f(ch, mol):
+        return 1.0 if (ch.clogp > thresh_logp
+                       and ch.n_aromatic_rings >= thresh_arom) else 0.0
+    return f
+
+
+def _ames_class(ch, mol):
+    fg = ch.functional_groups
+    return 1.0 if (fg.nitro > 0 or (fg.amine > 0
+                                    and ch.n_aromatic_rings >= 2)) else 0.0
+
+
+def _dili_class(ch, mol):
+    return 1.0 if (ch.clogp > 3.0 and ch.mol_weight > 300) else 0.0
+
+
+def _herg_class(ch, mol):
+    fg = ch.functional_groups
+    return 1.0 if (ch.clogp > 3.5 and fg.amine > 0) else 0.0
+
+
+def _carcinogen_class(ch, mol):
+    fg = ch.functional_groups
+    return 1.0 if (fg.nitro + fg.halogen >= 2) else 0.0
+
+
+def _skin_class(ch, mol):
+    fg = ch.functional_groups
+    return 1.0 if (fg.carbonyl + fg.ester > 0 and ch.mol_weight < 250) \
+        else 0.0
+
+
+def _bioavail_class(ch, mol):
+    # Lipinski-ish oral bioavailability gate
+    return 1.0 if (ch.mol_weight < 500 and ch.h_bond_donors <= 5
+                   and ch.h_bond_acceptors <= 10 and ch.clogp < 5) else 0.0
+
+
+# Full 24-dataset TDC registry (reference DatasetTdc enum,
+# therapeutic/mod.rs:56-80). Labels here are COMPUTED physicochemical
+# proxies unless the target appears in EXPERIMENTAL_DATA below — proxies
+# exercise the training/inference plumbing and give qualitatively sane
+# trends, but are NOT measured ADMET data; drop the TDC CSV into
+# train_target(csv=...) for real labels.
 _REG = [
     ("lipophilicity_astrazeneca", _clogp, "octanol-water logD proxy"),
     ("tpsa_surrogate", _tpsa, "topological polar surface area"),
@@ -74,10 +152,28 @@ _REG = [
     ("caco2_wang", _permeability_proxy, "membrane permeability proxy"),
     ("half_life_obach", _half_life_proxy, "half-life proxy"),
     ("clearance_hepatocyte_az", _clearance_proxy, "clearance proxy"),
+    ("ppbr_az", _ppbr_proxy, "plasma protein binding %, proxy"),
+    ("vdss_lombardo", _vdss_proxy, "log VDss proxy"),
+    ("ld50_zhu", _ld50_proxy, "acute toxicity proxy"),
+    ("hydrationfreeenergy_freesolv", _fu_hydration_proxy,
+     "hydration dG proxy (run_sol_sim computes the real thing)"),
 ]
 _CLS = [
     ("hia_hou", _hia_class, "human intestinal absorption"),
     ("bbb_martins", _bbb_class, "blood-brain-barrier penetration"),
+    ("pampa_ncats", _pampa_class, "PAMPA permeability class"),
+    ("pgp_broccatelli", _pgp_class, "P-gp substrate class"),
+    ("cyp1a2_veith", _cyp_class(2.0, 2), "CYP1A2 inhibition proxy"),
+    ("cyp2c9_veith", _cyp_class(2.5, 1), "CYP2C9 inhibition proxy"),
+    ("cyp2c19_veith", _cyp_class(2.2, 1), "CYP2C19 inhibition proxy"),
+    ("cyp2d6_veith", _cyp_class(2.8, 1), "CYP2D6 inhibition proxy"),
+    ("cyp3a4_veith", _cyp_class(3.0, 2), "CYP3A4 inhibition proxy"),
+    ("ames", _ames_class, "Ames mutagenicity structural-alert proxy"),
+    ("dili", _dili_class, "drug-induced liver injury proxy"),
+    ("herg", _herg_class, "hERG blocker proxy"),
+    ("carcinogens_lagunin", _carcinogen_class, "carcinogenicity proxy"),
+    ("skin_reaction", _skin_class, "skin reaction proxy"),
+    ("bioavailability_ma", _bioavail_class, "oral bioavailability class"),
 ]
 
 TARGETS: Dict[str, TargetSpec] = {}
