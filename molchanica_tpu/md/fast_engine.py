@@ -916,8 +916,28 @@ class FastSim:
             return st, terms, es
 
         import os
-        if os.environ.get("MOLCHANICA_FASTSIM_SCAN", "1") == "1":
+        mode = os.environ.get("MOLCHANICA_FASTSIM_SCAN", "1")
+        if mode == "1":
             fn = jax.jit(chunk)
+        elif mode == "unroll":
+            # Unrolled chunk: the k-step loop is unrolled at trace time, so
+            # the compiled program contains k sequential copies of the step
+            # body and NO lax.scan around the pallas call — sidesteps the
+            # relay's pallas-inside-scan miscompile class while keeping one
+            # dispatch per rebuild period (docs/PERF.md "open investigation").
+            def chunk_unrolled(st: FastState):
+                st = self._rebuild(st)
+                one = make_one(st)
+                x, v, f, k = st.x, st.v, st.f, st.rng_key
+                es = []
+                terms = None
+                for _ in range(k_steps):
+                    x, v, f, e, terms, k = one(x, v, f, st.box, st.couple, k)
+                    es.append(e)
+                st, terms = finish(st, x, v, f, k, es[-1], terms)
+                return st, terms, jnp.stack(es)
+
+            fn = jax.jit(chunk_unrolled)
         else:
             # Host-stepped fallback: one jitted single-step program called
             # k_steps times per rebuild — no pallas call inside lax.scan

@@ -122,49 +122,59 @@ def edge_features(bb_arrays, nbr):
     return jnp.concatenate([pos, rbf], axis=-1)
 
 
+def _bb_arrays(backbone: Backbone):
+    return (jnp.asarray(backbone.n), jnp.asarray(backbone.ca),
+            jnp.asarray(backbone.c), jnp.asarray(backbone.o),
+            jnp.asarray(backbone.chain_index),
+            jnp.asarray(backbone.residue_index))
+
+
+def _encode(params, bb, k):
+    """Edge featurization + 3 encoder layers -> (h_v, h_e, nbr)."""
+    n, ca, c, o, chain, resi = bb
+    L = ca.shape[0]
+    nbr = knn_graph(ca, k)                          # [L, K]
+    raw = edge_features(bb, nbr)
+    pos = _lin(params, "positional", raw[..., :POS_IN])
+    emb = _lin(params, "edge_embedding",
+               jnp.concatenate([pos, raw[..., POS_IN:]], axis=-1))
+    h_e = _ln(params, "norm_edges", emb)
+    h_e = _lin(params, "w_e", h_e)                  # [L, K, H]
+    h_v = jnp.zeros((L, HIDDEN), h_e.dtype)
+
+    def enc_layer(h_v, h_e, i):
+        pre = f"encoder{i}."
+        hvi = jnp.broadcast_to(h_v[:, None, :], (L, k, HIDDEN))
+        hvj = h_v[nbr]
+        inp = jnp.concatenate([hvi, h_e, hvj], axis=-1)
+        msg = _message_mlp(params, pre + "w", inp)
+        h_v = h_v + jnp.sum(msg, axis=1) / MESSAGE_SCALE
+        h_v = _ln(params, pre + "norm1", h_v)
+        dense = _lin(params, pre + "dense_out",
+                     _gelu(_lin(params, pre + "dense_in", h_v)))
+        h_v = _ln(params, pre + "norm2", h_v + dense)
+        hvi = jnp.broadcast_to(h_v[:, None, :], (L, k, HIDDEN))
+        hvj = h_v[nbr]
+        inp = jnp.concatenate([hvi, h_e, hvj], axis=-1)
+        h_e = _ln(params, pre + "norm3",
+                  h_e + _message_mlp(params, pre + "w1", inp))
+        return h_v, h_e
+
+    for i in range(3):
+        h_v, h_e = enc_layer(h_v, h_e, i)
+    return h_v, h_e, nbr
+
+
 def forward(params: Dict[str, jnp.ndarray], backbone: Backbone,
             k: int = K_NEIGHBORS):
     """Unconditional per-position log-probabilities [L, 21]."""
     L = len(backbone)
     k = min(k, L)
-    bb = (jnp.asarray(backbone.n), jnp.asarray(backbone.ca),
-          jnp.asarray(backbone.c), jnp.asarray(backbone.o),
-          jnp.asarray(backbone.chain_index),
-          jnp.asarray(backbone.residue_index))
+    bb = _bb_arrays(backbone)
 
     @jax.jit
     def run(bb):
-        n, ca, c, o, chain, resi = bb
-        nbr = knn_graph(ca, k)                          # [L, K]
-        raw = edge_features(bb, nbr)
-        pos = _lin(params, "positional", raw[..., :POS_IN])
-        emb = _lin(params, "edge_embedding",
-                   jnp.concatenate([pos, raw[..., POS_IN:]], axis=-1))
-        h_e = _ln(params, "norm_edges", emb)
-        h_e = _lin(params, "w_e", h_e)                  # [L, K, H]
-        h_v = jnp.zeros((L, HIDDEN), h_e.dtype)
-
-        def enc_layer(h_v, h_e, i):
-            pre = f"encoder{i}."
-            hvi = jnp.broadcast_to(h_v[:, None, :], (L, k, HIDDEN))
-            hvj = h_v[nbr]
-            inp = jnp.concatenate([hvi, h_e, hvj], axis=-1)
-            msg = _message_mlp(params, pre + "w", inp)
-            h_v = h_v + jnp.sum(msg, axis=1) / MESSAGE_SCALE
-            h_v = _ln(params, pre + "norm1", h_v)
-            dense = _lin(params, pre + "dense_out",
-                         _gelu(_lin(params, pre + "dense_in", h_v)))
-            h_v = _ln(params, pre + "norm2", h_v + dense)
-            hvi = jnp.broadcast_to(h_v[:, None, :], (L, k, HIDDEN))
-            hvj = h_v[nbr]
-            inp = jnp.concatenate([hvi, h_e, hvj], axis=-1)
-            h_e = _ln(params, pre + "norm3",
-                      h_e + _message_mlp(params, pre + "w1", inp))
-            return h_v, h_e
-
-        for i in range(3):
-            h_v, h_e = enc_layer(h_v, h_e, i)
-
+        h_v, h_e, nbr = _encode(params, bb, k)
         zeros = jnp.zeros((L, k, HIDDEN), h_e.dtype)
         for i in range(3):
             pre = f"decoder{i}."
@@ -184,6 +194,141 @@ def forward(params: Dict[str, jnp.ndarray], backbone: Backbone,
     return run(bb)
 
 
+# ----------------------------------------------------------------------
+# Autoregressive sequence design (the reference's external sequence-design
+# adapter, src/external_tools/mpnn.rs, done natively: upstream ProteinMPNN
+# sample() semantics — random decoding order, per-layer h_V cache frozen at
+# each position's decode time, sequence context h_S visible only from
+# already-decoded neighbors).
+
+def _make_decoder_scan(params, k):
+    """One decode step at position t: runs the 3 decoder layers for t only,
+    reading frozen per-layer caches for visible neighbors and encoder
+    states for invisible ones."""
+
+    def step_at(t, t_rank, rank, nbr, h_e, h_v_enc, hv_stack, h_s):
+        nb = nbr[t]                                       # [K]
+        vis = (rank[nb] < t_rank)[:, None]                # decoded before t
+        h_es_t = jnp.concatenate([h_e[t], h_s[nb]], axis=-1)   # [K, 2H]
+        ctx_inv = jnp.concatenate(
+            [h_e[t], jnp.zeros((nb.shape[0], HIDDEN), h_e.dtype),
+             h_v_enc[nb]], axis=-1)                       # [K, 3H]
+        for li in range(3):
+            pre = f"decoder{li}."
+            ctx_vis = jnp.concatenate([h_es_t, hv_stack[li][nb]], axis=-1)
+            h_esv = jnp.where(vis, ctx_vis, ctx_inv)
+            h_v_t = hv_stack[li][t]
+            inp = jnp.concatenate(
+                [jnp.broadcast_to(h_v_t, (nb.shape[0], HIDDEN)), h_esv],
+                axis=-1)
+            msg = _message_mlp(params, pre + "w", inp)
+            h = h_v_t + jnp.sum(msg, axis=0) / MESSAGE_SCALE
+            h = _ln(params, pre + "norm1", h)
+            dense = _lin(params, pre + "dense_out",
+                         _gelu(_lin(params, pre + "dense_in", h)))
+            h = _ln(params, pre + "norm2", h + dense)
+            hv_stack = hv_stack.at[li + 1, t].set(h)
+        return hv_stack, _lin(params, "w_out", hv_stack[3, t])  # [21]
+
+    return step_at
+
+
+def design_sequences(params: Dict[str, jnp.ndarray], backbone: Backbone,
+                     key, n_samples: int = 1, temperature: float = 0.1,
+                     k: int = K_NEIGHBORS,
+                     fixed_mask: Optional[np.ndarray] = None,
+                     fixed_seq: Optional[str] = None):
+    """Sample sequences for a backbone (native sequence design; the
+    reference shells out to ProteinMPNN for this, external_tools/mpnn.rs).
+
+    Returns (sequences: list[str], mean_log_prob: np.ndarray[n_samples]).
+    `fixed_mask`/`fixed_seq` pin positions (redesign only the rest).
+    """
+    L = len(backbone)
+    k = min(k, L)
+    bb = _bb_arrays(backbone)
+    fm = jnp.zeros((L,), bool) if fixed_mask is None \
+        else jnp.asarray(fixed_mask, bool)
+    fs = jnp.zeros((L,), jnp.int32) if fixed_seq is None \
+        else jnp.asarray([ALPHABET.index(c) for c in fixed_seq], jnp.int32)
+    step_at = _make_decoder_scan(params, k)
+
+    @jax.jit
+    def sample_one(key):
+        h_v_enc, h_e, nbr = _encode(params, bb, k)
+        key, ko = jax.random.split(key)
+        order = jax.random.permutation(ko, L)
+        rank = jnp.argsort(order)                     # rank[i] = decode time
+        hv_stack = jnp.zeros((4, L, HIDDEN), h_v_enc.dtype
+                             ).at[0].set(h_v_enc)
+        h_s = jnp.zeros((L, HIDDEN), h_v_enc.dtype)
+        seq = jnp.zeros((L,), jnp.int32)
+
+        def body(carry, t_rank):
+            hv_stack, h_s, seq, key, lp_sum = carry
+            t = order[t_rank]
+            hv_stack, logits = step_at(t, t_rank, rank, nbr, h_e,
+                                       h_v_enc, hv_stack, h_s)
+            logits = logits.at[20].set(-1e9)          # never emit X
+            key, ks = jax.random.split(key)
+            aa = jax.random.categorical(ks, logits / temperature)
+            aa = jnp.where(fm[t], fs[t], aa).astype(jnp.int32)
+            lp = jax.nn.log_softmax(logits)[aa]
+            seq = seq.at[t].set(aa)
+            h_s = h_s.at[t].set(params["w_s.weight"][aa])
+            return (hv_stack, h_s, seq, key, lp_sum + lp), None
+
+        (hv_stack, h_s, seq, key, lp_sum), _ = jax.lax.scan(
+            body, (hv_stack, h_s, seq, key, 0.0),
+            jnp.arange(L))
+        return seq, lp_sum / L
+
+    seqs, lps = [], []
+    for i in range(n_samples):
+        key, sub = jax.random.split(key)
+        seq, lp = sample_one(sub)
+        seqs.append("".join(ALPHABET[int(a)] for a in np.asarray(seq)))
+        lps.append(float(lp))
+    return seqs, np.asarray(lps)
+
+
+def conditional_log_probs(params: Dict[str, jnp.ndarray],
+                          backbone: Backbone, sequence: str, key,
+                          k: int = K_NEIGHBORS) -> np.ndarray:
+    """Teacher-forced per-position log P(aa_i | backbone, aa_{<i in a
+    random decoding order}) — the conditional scoring mode (upstream
+    ProteinMPNN `forward`; used for sequence recovery / design ranking)."""
+    L = len(backbone)
+    k = min(k, L)
+    bb = _bb_arrays(backbone)
+    seq = jnp.asarray([ALPHABET.index(c) for c in sequence], jnp.int32)
+    step_at = _make_decoder_scan(params, k)
+
+    @jax.jit
+    def run(key):
+        h_v_enc, h_e, nbr = _encode(params, bb, k)
+        order = jax.random.permutation(key, L)
+        rank = jnp.argsort(order)
+        hv_stack = jnp.zeros((4, L, HIDDEN), h_v_enc.dtype
+                             ).at[0].set(h_v_enc)
+        h_s = params["w_s.weight"][seq] * 0.0         # filled as decoded
+
+        def body(carry, t_rank):
+            hv_stack, h_s = carry
+            t = order[t_rank]
+            hv_stack, logits = step_at(t, t_rank, rank, nbr, h_e,
+                                       h_v_enc, hv_stack, h_s)
+            lp = jax.nn.log_softmax(logits)[seq[t]]
+            h_s = h_s.at[t].set(params["w_s.weight"][seq[t]])
+            return (hv_stack, h_s), (t, lp)
+
+        (_, _), (ts, lps) = jax.lax.scan(body, (hv_stack, h_s),
+                                         jnp.arange(L))
+        return jnp.zeros((L,)).at[ts].set(lps)
+
+    return np.asarray(run(key))
+
+
 def init_weights(key, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """Random weights with the exact converted-checkpoint layout
     (PyTorch Linear [out, in]); used for golden-verification tests and as
@@ -195,6 +340,7 @@ def init_weights(key, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
         "edge_embedding.bias": (HIDDEN,),
         "norm_edges.weight": (HIDDEN,), "norm_edges.bias": (HIDDEN,),
         "w_e.weight": (HIDDEN, HIDDEN), "w_e.bias": (HIDDEN,),
+        "w_s.weight": (21, HIDDEN),       # sequence embedding (design path)
         "w_out.weight": (21, HIDDEN), "w_out.bias": (21,),
     }
     for i in range(3):

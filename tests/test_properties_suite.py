@@ -40,6 +40,72 @@ def test_mixing_discriminates():
     assert 0.0 <= mixed.score <= 1.0
 
 
+def test_solubility_extremes_mixed_grid_vs_split_slab():
+    """The reference's own extreme-case test design (mixing_analysis.rs
+    compute_solubility_extremes_for_mixed_grid_and_split_slabs): an evenly
+    mixed solute grid must score near the top of the scale, a solute slab
+    phase-separated from a water slab near the bottom."""
+    from molchanica_tpu.properties.mixing import (
+        compute_solubility, map_to_aqsoldb, valid_solubility_cell)
+
+    rng = np.random.default_rng(2)
+    box = np.array([32.0] * 3)
+    n_per = 3                                 # 3-atom rigid solute copies
+    offs = rng.normal(0, 0.5, (n_per, 3))
+
+    # evenly mixed: 27 copies on a 3x3x3 grid, water uniform
+    grid = np.stack(np.meshgrid(*[np.linspace(4, 28, 3)] * 3),
+                    -1).reshape(-1, 3)
+    mixed_solute = (grid[:, None] + offs[None]).reshape(-1, 3)
+    water_uniform = rng.uniform(0, 32, (900, 3))
+    s_mixed = compute_solubility(mixed_solute, n_per, water_uniform, box)
+
+    # phase-separated: solute slab z<8, water slab z>16
+    slab_xy = rng.uniform(0, 32, (27, 2))
+    slab_z = rng.uniform(2, 6, (27, 1))
+    slab = np.concatenate([slab_xy, slab_z], axis=1)
+    sep_solute = (slab[:, None] + offs[None]).reshape(-1, 3)
+    water_slab = np.concatenate([rng.uniform(0, 32, (900, 2)),
+                                 rng.uniform(16, 32, (900, 1))], axis=1)
+    s_sep = compute_solubility(sep_solute, n_per, water_slab, box)
+
+    assert s_mixed > 0.6, s_mixed
+    assert s_sep < 0.45, s_sep
+    assert s_mixed > s_sep + 0.3
+    # AqSolDB mapping is monotone over the unit interval
+    assert map_to_aqsoldb(s_mixed) > map_to_aqsoldb(s_sep)
+    assert map_to_aqsoldb(0.0) == -4.0 and map_to_aqsoldb(1.0) == 2.0
+    assert not valid_solubility_cell(None)
+    assert valid_solubility_cell(box)
+
+
+def test_solubility_helpers():
+    from molchanica_tpu.properties.mixing import (
+        adapted_kernel_sigmas, log_expanded_score, occupancy_count_score,
+        solute_mol_centers)
+
+    # periodic COM: molecule straddling the boundary lands near the edge,
+    # not in the cell middle
+    box = np.array([20.0] * 3)
+    mol = np.array([[19.5, 10, 10], [0.5, 10, 10]])
+    com = solute_mol_centers(mol, 2, box)
+    assert min(com[0, 0], 20.0 - com[0, 0]) < 1.0, com
+
+    # occupancy saturates at/above the expectation, 0 when empty
+    assert occupancy_count_score(0, 10.0) == 0.0
+    assert occupancy_count_score(10, 10.0) > 0.95
+    assert occupancy_count_score(100, 10.0) == 1.0
+
+    # log expansion: monotone, endpoints fixed, expands low scores
+    assert log_expanded_score(0.0) == 0.0
+    assert abs(log_expanded_score(1.0) - 1.0) < 1e-12
+    assert log_expanded_score(0.1) > 0.1
+
+    # sigmas clamp to small cells
+    sig_small = adapted_kernel_sigmas(np.array([8.0] * 3))
+    assert max(sig_small) <= 0.9 * 4.0 + 1e-9
+
+
 def test_graph_ml_features():
     from molchanica_tpu.models.graph_ml import (
         atom_graph_analysis_features, graphlet_size_3_features, wl_kernel)
