@@ -25,7 +25,7 @@ Commands (PyMol-style where applicable):
   help                        this text
   load <path>                 open a structure (sdf/mol2/pdb/cif/xyz/gro/smiles:<s>)
   save <path>                 write the active molecule (format by extension)
-  fetch <pdb-id>              (requires network; unavailable offline)
+  fetch <name>                load from the embedded mol DBs (e.g. fetch glucose)
   ls / pwd / cd <dir>         file navigation
   show [sel]                  summary of the active molecule / selection
   select resn <name>          select by residue name
@@ -80,11 +80,9 @@ def handle_cmd(state: CliState, line: str) -> str:
     if m:
         os.chdir(os.path.expanduser(m.group(1).strip()))
         return os.getcwd()
-    m = re.match(r"^fetch\s+([a-z0-9]{4})$", low)
+    m = re.match(r"^fetch\s+(\S+)$", line, re.I)
     if m:
-        raise CliError(
-            f"fetch {m.group(1)}: no network access in this environment; "
-            "download the file and use `load`")
+        return _fetch(state, m.group(1))
     m = re.match(r"^load\s+(.+)$", line, re.I)
     if m:
         return _load(state, m.group(1).strip())
@@ -139,6 +137,33 @@ def handle_cmd(state: CliState, line: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+
+def _fetch(state: CliState, name: str) -> str:
+    """Offline fetch: look the name up in the embedded molecule DBs (the
+    reference resolves HMDB/ChEBI names from its embedded parquet DBs;
+    RCSB/PubChem download needs network and is unavailable here)."""
+    from .mol_db import lookup_by_name
+    from .molecules.embed import embed_3d
+    from .molecules.smiles import from_smiles
+
+    hit = lookup_by_name(name)
+    if hit is None:
+        raise CliError(
+            f"fetch {name}: not in the embedded databases, and no network "
+            "access in this environment; download the file and use `load`")
+    db_name, row = hit
+    mol = from_smiles(row.smiles)
+    try:
+        embed_3d(mol)
+    except Exception:
+        pass
+    mol.name = row["name"]
+    state.mols[row["name"]] = mol
+    state.active = row["name"]
+    state.selection = None
+    return (f"fetched {row['name']} from {db_name}: {mol.n_atoms} atoms "
+            f"(MW {row.mol_weight:.1f}, cLogP {row.clogp:.2f})")
+
 
 def _load(state: CliState, path: str) -> str:
     from .molecules.smiles import from_smiles

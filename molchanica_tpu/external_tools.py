@@ -31,6 +31,7 @@ class ToolSpec:
     executables: tuple                 # candidate binary names
     description: str = ""
     version_args: tuple = ("--version",)
+    pip_package: Optional[str] = None  # installable into a managed venv
 
 
 REGISTRY: Dict[str, ToolSpec] = {
@@ -49,7 +50,70 @@ REGISTRY: Dict[str, ToolSpec] = {
     "ligandmpnn": ToolSpec(
         "ligandmpnn", ToolKind.STRUCTURE_ML, ("ligandmpnn",),
         "LigandMPNN sequence design"),
+    "anarcii": ToolSpec(
+        "anarcii", ToolKind.SEQUENCE, ("anarcii",),
+        "ANARCII antibody numbering", pip_package="anarcii"),
+    "mdtraj": ToolSpec(
+        "mdtraj", ToolKind.MD_ENGINE, ("mdconvert",),
+        "MDTraj trajectory conversion", pip_package="mdtraj"),
 }
+
+
+def _env_override(name: str) -> Optional[str]:
+    """Explicit executable override, reference-style env vars
+    (MOLCHANICA_ORCA_EXECUTABLE etc., README.md:80-103)."""
+    return os.environ.get(f"MOLCHANICA_TPU_{name.upper()}_EXECUTABLE")
+
+
+def managed_dir(name: str) -> str:
+    """Per-tool managed install root (the analog of the reference's
+    uv-managed per-tool venvs, external_tools/mod.rs:22-39)."""
+    root = os.environ.get(
+        "MOLCHANICA_TPU_TOOLS_DIR",
+        os.path.join(os.path.expanduser("~"), ".molchanica_tpu", "tools"))
+    return os.path.join(root, name)
+
+
+def install(name: str, timeout: int = 1800) -> str:
+    """Install a pip-installable tool into its managed venv (reference
+    install flow, external_tools/mod.rs:319-399). Uses `uv` when present,
+    stdlib venv + pip otherwise. Requires network access; raises with a
+    clear message when the tool has no pip package."""
+    spec = REGISTRY[name]
+    if not spec.pip_package:
+        raise RuntimeError(
+            f"{name} has no managed pip package; install it system-wide "
+            f"(looked for {spec.executables}) or set "
+            f"MOLCHANICA_TPU_{name.upper()}_EXECUTABLE")
+    venv = managed_dir(name)
+    os.makedirs(os.path.dirname(venv), exist_ok=True)
+    uv = shutil.which(os.environ.get("MOLCHANICA_TPU_UV", "uv"))
+    if uv:
+        cmds = [[uv, "venv", venv],
+                [uv, "pip", "install", "--python",
+                 os.path.join(venv, "bin", "python"), spec.pip_package]]
+    else:
+        import sys
+        cmds = [[sys.executable, "-m", "venv", venv],
+                [os.path.join(venv, "bin", "python"), "-m", "pip",
+                 "install", spec.pip_package]]
+    for cmd in cmds:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"install of {name} failed at {' '.join(cmd[:3])}: "
+                f"{(r.stderr or r.stdout)[-500:]}")
+    return venv
+
+
+def uninstall(name: str) -> bool:
+    """Remove a managed install; True if something was removed."""
+    venv = managed_dir(name)
+    if os.path.isdir(venv):
+        shutil.rmtree(venv)
+        return True
+    return False
 
 
 @dataclass
@@ -61,10 +125,19 @@ class ToolStatus:
 
 
 def probe(name: str) -> ToolStatus:
-    """Availability + version of one registered tool."""
+    """Availability + version of one registered tool. Resolution order:
+    env-var override, managed venv, PATH."""
     spec = REGISTRY[name]
+    override = _env_override(name)
+    candidates = [override] if override else []
+    mbin = os.path.join(managed_dir(name), "bin")
     for exe in spec.executables:
-        path = shutil.which(exe)
+        candidates.append(os.path.join(mbin, exe))
+        candidates.append(exe)
+    for exe in candidates:
+        path = shutil.which(exe) if os.sep not in exe else (
+            exe if os.path.isfile(exe) and os.access(exe, os.X_OK)
+            else None)
         if path:
             version = None
             if spec.version_args:

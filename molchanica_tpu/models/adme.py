@@ -24,6 +24,8 @@ from ..molecules.common import MoleculeCommon
 MAX_ATOMS = 64
 N_EDGE_LAYERS = 4      # covalent / angle(1-3) / dihedral(1-4) / spatial
 ATOM_FEATS = 16
+MAX_COMPS = 12         # component-graph padding (reference infer.rs MAX_COMPS)
+COMP_FEATS = 12
 
 _ELEMENT_IDX = {"C": 0, "N": 1, "O": 2, "S": 3, "P": 4, "F": 5, "Cl": 6,
                 "Br": 7, "I": 8, "H": 9}
@@ -34,6 +36,7 @@ class AdmeModelConfig:
     hidden: int = 48
     n_message_passes: int = 3
     mlp_hidden: int = 64
+    comp_hidden: int = 24        # component-graph branch width
     classification: bool = False
 
 
@@ -91,7 +94,51 @@ def featurize_mol(mol: MoleculeCommon,
         adj[3, :n, :n] = close & (adj[0, :n, :n] == 0)
 
     desc = char.feature_vector()
-    return nodes, adj, mask, desc
+    cnodes, cadj, cmask = featurize_components(mol)
+    return nodes, adj, mask, desc, cnodes, cadj, cmask
+
+
+_KIND_IDX = {"ring_system": 0, "linker": 1, "substituent": 2}
+
+
+def featurize_components(mol: MoleculeCommon
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Component-graph encoding (reference gnn/component.rs): nodes are
+    ring systems / linkers / substituents from the BRICS-flavoured
+    decomposition; two components are adjacent when a covalent bond
+    crosses them. -> (cnodes [C,F], cadj [C,C], cmask [C])."""
+    from ..molecules.components import decompose
+
+    comps = decompose(mol)[:MAX_COMPS]
+    el = [e.capitalize() for e in mol.elements]
+    cnodes = np.zeros((MAX_COMPS, COMP_FEATS), np.float32)
+    cadj = np.zeros((MAX_COMPS, MAX_COMPS), np.float32)
+    cmask = np.zeros((MAX_COMPS,), np.float32)
+    owner = {}
+    for ci, c in enumerate(comps):
+        cmask[ci] = 1.0
+        for a in c.atom_indices:
+            owner[a] = ci
+        els = [el[a] for a in c.atom_indices]
+        heavy = [e for e in els if e != "H"]
+        cnodes[ci, _KIND_IDX.get(c.kind, 2)] = 1.0
+        cnodes[ci, 3] = len(heavy) / 8.0
+        cnodes[ci, 4] = sum(1 for e in heavy if e not in ("C",)) / 4.0
+        cnodes[ci, 5] = len(c.attachment_points) / 4.0
+        cnodes[ci, 6] = 1.0 if "N" in heavy else 0.0
+        cnodes[ci, 7] = 1.0 if "O" in heavy else 0.0
+        cnodes[ci, 8] = 1.0 if "S" in heavy else 0.0
+        cnodes[ci, 9] = 1.0 if any(e in ("F", "Cl", "Br", "I")
+                                   for e in heavy) else 0.0
+        if mol.formal_charges:
+            cnodes[ci, 10] = sum(mol.formal_charges[a]
+                                 for a in c.atom_indices)
+        cnodes[ci, 11] = sum(1 for e in els if e == "H") / 8.0
+    for i, j in mol.bonds:
+        ci, cj = owner.get(i), owner.get(j)
+        if ci is not None and cj is not None and ci != cj:
+            cadj[ci, cj] = cadj[cj, ci] = 1.0
+    return cnodes, cadj, cmask
 
 
 class AdmeModel(nn.Module):
@@ -99,8 +146,11 @@ class AdmeModel(nn.Module):
     cfg: AdmeModelConfig = AdmeModelConfig()
 
     @nn.compact
-    def __call__(self, nodes, adj, mask, desc):
-        # nodes [B,A,F], adj [B,L,A,A], mask [B,A], desc [B,D]
+    def __call__(self, nodes, adj, mask, desc, cnodes=None, cadj=None,
+                 cmask=None):
+        # nodes [B,A,F], adj [B,L,A,A], mask [B,A], desc [B,D],
+        # component branch (reference gnn/component.rs):
+        # cnodes [B,C,CF], cadj [B,C,C], cmask [B,C]
         h = nn.Dense(self.cfg.hidden)(nodes)
         h = h * mask[..., None]
         for _ in range(self.cfg.n_message_passes):
@@ -119,7 +169,17 @@ class AdmeModel(nn.Module):
         d = nn.relu(nn.Dense(self.cfg.mlp_hidden)(desc))
         d = nn.relu(nn.Dense(self.cfg.mlp_hidden)(d))
 
-        z = jnp.concatenate([g, d], axis=-1)
+        parts = [g, d]
+        if cnodes is not None:
+            hc = nn.Dense(self.cfg.comp_hidden)(cnodes) * cmask[..., None]
+            for _ in range(2):
+                mc = jnp.einsum("bij,bjh->bih", cadj, hc)
+                mc = nn.Dense(self.cfg.comp_hidden)(mc)
+                hc = nn.LayerNorm()(hc + nn.relu(mc)) * cmask[..., None]
+            cden = jnp.maximum(cmask.sum(-1, keepdims=True), 1.0)
+            parts.append((hc * cmask[..., None]).sum(1) / cden)
+
+        z = jnp.concatenate(parts, axis=-1)
         z = nn.relu(nn.Dense(self.cfg.mlp_hidden)(z))
         out = nn.Dense(1)(z)[..., 0]
         return out
@@ -157,10 +217,8 @@ def train_adme(
     import optax
 
     feats = [featurize_mol(m) for m in mols]
-    nodes = jnp.asarray(np.stack([f[0] for f in feats]))
-    adj = jnp.asarray(np.stack([f[1] for f in feats]))
-    mask = jnp.asarray(np.stack([f[2] for f in feats]))
-    desc = jnp.asarray(np.stack([f[3] for f in feats]))
+    nodes, adj, mask, desc, cnodes, cadj, cmask = (
+        jnp.asarray(np.stack([f[i] for f in feats])) for i in range(7))
     y_raw = np.asarray(targets, np.float32)
     scaler = StandardScaler.fit(y_raw) if not cfg.classification \
         else StandardScaler()
@@ -175,13 +233,15 @@ def train_adme(
 
     model = AdmeModel(cfg)
     key = jax.random.PRNGKey(seed)
-    params = model.init(key, nodes[:1], adj[:1], mask[:1], desc[:1])
+    params = model.init(key, nodes[:1], adj[:1], mask[:1], desc[:1],
+                        cnodes[:1], cadj[:1], cmask[:1])
     n_steps = max(1, (len(tr_idx) // batch_size)) * n_epochs
     tx = optax.adam(optax.cosine_decay_schedule(lr, n_steps))
     opt_state = tx.init(params)
 
     def loss_fn(p, b):
-        pred = model.apply(p, nodes[b], adj[b], mask[b], desc[b])
+        pred = model.apply(p, nodes[b], adj[b], mask[b], desc[b],
+                           cnodes[b], cadj[b], cmask[b])
         if cfg.classification:
             return jnp.mean(optax.sigmoid_binary_cross_entropy(pred, y[b]))
         return jnp.mean((pred - y[b]) ** 2)
@@ -212,11 +272,8 @@ def predict_adme(params, mols, scaler=None,
     feats = [featurize_mol(m) for m in mols]
     model = AdmeModel(cfg)
     pred = model.apply(
-        params,
-        jnp.asarray(np.stack([f[0] for f in feats])),
-        jnp.asarray(np.stack([f[1] for f in feats])),
-        jnp.asarray(np.stack([f[2] for f in feats])),
-        jnp.asarray(np.stack([f[3] for f in feats])))
+        params, *(jnp.asarray(np.stack([f[i] for f in feats]))
+                  for i in range(7)))
     pred = np.asarray(pred)
     if cfg.classification:
         return 1.0 / (1.0 + np.exp(-pred))

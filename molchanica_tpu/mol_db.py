@@ -99,3 +99,35 @@ class MolDb:
 
         for smi in self.df.smiles[:limit]:
             yield from_smiles(smi)
+
+
+# ---------------------------------------------------------------------
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+EMBEDDED_DBS = ("metabolites_hmdb_core", "compounds_chebi_core")
+
+
+def load_embedded_dbs() -> dict:
+    """The embedded molecule databases shipped with the package — the
+    analog of the reference's embedded HMDB + ChEBI parquet DBs loaded at
+    startup (/root/reference/src/state.rs:88-104). Keys: EMBEDDED_DBS;
+    values: MolDb (metabolites with names + descriptor columns).
+    Regenerate with scripts/make_embedded_dbs.py."""
+    out = {}
+    for name in EMBEDDED_DBS:
+        path = os.path.join(_DATA_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = MolDb.open(path)
+    return out
+
+
+def lookup_by_name(name: str, dbs: Optional[dict] = None):
+    """Case-insensitive name lookup across the embedded DBs; returns a
+    (db_name, row) pair or None."""
+    dbs = dbs if dbs is not None else load_embedded_dbs()
+    for db_name, db in dbs.items():
+        if "name" not in db.df.columns:
+            continue
+        hit = db.df[db.df.name.str.lower() == name.lower()]
+        if len(hit):
+            return db_name, hit.iloc[0]
+    return None

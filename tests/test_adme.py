@@ -35,11 +35,15 @@ def dataset():
 
 def test_featurization_shapes(dataset):
     mols, _ = dataset
-    nodes, adj, mask, desc = featurize_mol(mols[0])
+    nodes, adj, mask, desc, cnodes, cadj, cmask = featurize_mol(mols[0])
     assert nodes.shape == (64, 16)
     assert adj.shape == (4, 64, 64)
     assert mask.sum() == mols[0].n_atoms
     assert np.isfinite(desc).all()
+    # component-graph branch (reference gnn/component.rs)
+    assert cnodes.shape[0] == cadj.shape[0] == cmask.shape[0]
+    assert cmask.sum() >= 1      # at least one component
+    assert (cadj == cadj.T).all()
 
 
 def test_model_learns_regression(dataset):

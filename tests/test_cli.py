@@ -80,3 +80,23 @@ def test_main_batch(tmp_path, capsys):
     rc = main(["load smiles:CCO", "show"])
     assert rc == 0
     assert "atoms" in capsys.readouterr().out
+
+
+def test_fetch_from_embedded_db():
+    """`fetch <name>` resolves offline from the embedded DBs (the
+    reference's embedded HMDB/ChEBI lookup, state.rs:88-104)."""
+    from molchanica_tpu.cli import CliState, handle_cmd
+
+    st = CliState()
+    out = handle_cmd(st, "fetch glucose")
+    assert "glucose" in out and "24 atoms" in out
+    assert st.active == "glucose"
+    # coordinates were embedded (non-degenerate geometry)
+    import numpy as np
+    x = np.asarray(st.mols["glucose"].positions)
+    assert np.ptp(x, axis=0).min() > 0.5
+
+    import pytest
+    from molchanica_tpu.cli import CliError
+    with pytest.raises(CliError, match="not in the embedded databases"):
+        handle_cmd(st, "fetch definitely-not-a-molecule")
