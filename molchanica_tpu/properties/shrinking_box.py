@@ -35,6 +35,9 @@ class ShrinkingBoxMdData:
     positions: np.ndarray = field(repr=False, default=None)
 
 
+PRESSURE_CAP_BAR = 20_000.0       # reference shrink stop (rs:140)
+
+
 def run_shrinking_box_sim(
     mols: List[MolSpec],
     target_density_g_cm3: float = 0.95,
@@ -46,27 +49,52 @@ def run_shrinking_box_sim(
     seed: int = 0,
     solute_indices: Optional[List[int]] = None,
     cfg_overrides: Optional[dict] = None,
+    mode: str = "homogeneous",
+    pressure_cap_bar: Optional[float] = PRESSURE_CAP_BAR,
 ) -> ShrinkingBoxMdData:
-    """Pack `mols` to the target density by staged box shrinking."""
+    """Pack `mols` to the target density by staged box shrinking.
+
+    mode="homogeneous": dilute 3D grid start (reference default).
+    mode="slab": solute copies start in a z-slab with the rest above it
+    (the reference's layer mode, sol_shrinking_box.rs:85-104) — used for
+    boundary-layer/interface experiments.
+    A shrink stage is skipped (schedule ends) once the instantaneous
+    pressure exceeds `pressure_cap_bar` (reference cap 20 kbar, rs:140).
+    """
     mw_total = sum(float(np.sum(m.masses)) for m in mols)
     v_target = mw_total / (target_density_g_cm3 * 0.6022)
     side_target = v_target ** (1.0 / 3.0)
     side = side_target * start_scale
 
-    # dilute grid start
+    # dilute start: 3D grid, or solute-slab/other-slab split
     rng = np.random.default_rng(seed)
     n = len(mols)
-    n_side = int(np.ceil(n ** (1 / 3)))
-    spacing = side / max(n_side, 1)
     placed = []
-    cells = [(i, j, k) for i in range(n_side) for j in range(n_side)
-             for k in range(n_side)][:n]
-    for m, (i, j, k) in zip(mols, cells):
+    if mode == "slab":
+        sol_set = set(solute_indices or range(n))
+        lo = [i for i in range(n) if i in sol_set]
+        hi = [i for i in range(n) if i not in sol_set]
+        cells = {}
+        for group, z0, z1 in ((lo, 0.15, 0.45), (hi, 0.55, 0.9)):
+            ns = max(1, int(np.ceil(np.sqrt(max(len(group), 1)))))
+            for gi, mi in enumerate(group):
+                gx, gy = gi % ns, (gi // ns) % ns
+                z = z0 + (z1 - z0) * ((gi // (ns * ns)) + 0.5) \
+                    / max(1, int(np.ceil(len(group) / (ns * ns))))
+                cells[mi] = np.array([(gx + 0.5) / ns * side,
+                                      (gy + 0.5) / ns * side, z * side])
+        centers = [cells[i] for i in range(n)]
+    else:
+        n_side = int(np.ceil(n ** (1 / 3)))
+        spacing = side / max(n_side, 1)
+        grid = [(i, j, k) for i in range(n_side) for j in range(n_side)
+                for k in range(n_side)][:n]
+        centers = [(np.array(c) + 0.5) * spacing for c in grid]
+    for m, ctr in zip(mols, centers):
         import copy as _copy
         m2 = _copy.copy(m)
         com = np.asarray(m.positions).mean(axis=0)
-        m2.positions = np.asarray(m.positions) - com + \
-            (np.array([i, j, k]) + 0.5) * spacing
+        m2.positions = np.asarray(m.positions) - com + ctr
         placed.append(m2)
 
     box = np.array([side] * 3)
@@ -90,6 +118,10 @@ def run_shrinking_box_sim(
     shrink_steps = 0
     sim.step(dt_ps / 2, steps_per_stage, force_cap=1000.0)
     while float(sim.state.box[0]) > side_target:
+        if pressure_cap_bar is not None:
+            p = _pressure_bar(sim)
+            if p is not None and p > pressure_cap_bar:
+                break          # reference: stop compressing past the cap
         scale = max(shrink_per_stage,
                     side_target / float(sim.state.box[0]))
         st = sim.state
@@ -128,3 +160,46 @@ def run_shrinking_box_sim(
         shrink_steps=shrink_steps,
         positions=x,
     )
+
+
+def _pressure_bar(sim) -> Optional[float]:
+    """Instantaneous virial pressure of an MdSim, if computable."""
+    try:
+        import jax.numpy as jnp
+
+        from ..md.barostat import instantaneous_pressure_bar
+
+        st = sim.state
+        f, _ = sim.force_fn(st.positions, st.box, st.couple)
+        return float(instantaneous_pressure_bar(
+            st.positions, st.box, st.velocities, sim.top.masses,
+            sim.top.dof_mask, f))
+    except Exception:
+        return None
+
+
+def run_on_select_mols(
+    mol_lists: List[List[MolSpec]],
+    solute_indices_per_run: Optional[List[List[int]]] = None,
+    **kw,
+) -> List[ShrinkingBoxMdData]:
+    """Batch runner over independent packings (reference
+    run_on_select_mols, sol_shrinking_box.rs:1699). Each entry is an
+    independent system; runs execute sequentially here (each is itself a
+    chunked jitted MD) — replica-parallel dispatch belongs to
+    parallel.replicas when shapes match."""
+    out = []
+    for i, mols in enumerate(mol_lists):
+        si = solute_indices_per_run[i] if solute_indices_per_run else None
+        out.append(run_shrinking_box_sim(mols, solute_indices=si, **kw))
+    return out
+
+
+def pack_to_density(mols: List[MolSpec], target_density_g_cm3: float = 0.95,
+                    **kw):
+    """Packing primitive (reference pack_solvent_with_shrinking_box_cfg):
+    run the shrink schedule and return (positions, box_extent) for use as
+    a starting configuration by other workloads."""
+    data = run_shrinking_box_sim(mols, target_density_g_cm3, **kw)
+    side = data.final_box_side_a
+    return data.positions, np.array([side, side, side])

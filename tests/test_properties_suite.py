@@ -157,6 +157,33 @@ def test_shrinking_box_reaches_density():
     assert data.shrink_steps > 0
 
 
+def test_shrinking_box_slab_mode_and_batch():
+    """Layer/slab start mode + the batch runner (reference
+    sol_shrinking_box.rs:85-104 slab modes, :1699 run_on_select_mols)."""
+    from molchanica_tpu.properties.shrinking_box import (
+        pack_to_density, run_on_select_mols, run_shrinking_box_sim)
+
+    mols = [_small_mol() for _ in range(8)]
+    data = run_shrinking_box_sim(
+        mols, target_density_g_cm3=0.55, steps_per_stage=40, mode="slab",
+        solute_indices=[0, 1, 2, 3],
+        cfg_overrides=dict(max_init_relaxation_iters=80))
+    assert data.final_density_g_cm3 > 0.45
+    assert data.mixing is not None       # solute/solvent split produced
+
+    runs = run_on_select_mols(
+        [[_small_mol() for _ in range(4)]], target_density_g_cm3=0.5,
+        steps_per_stage=30,
+        cfg_overrides=dict(max_init_relaxation_iters=60))
+    assert len(runs) == 1 and runs[0].shrink_steps >= 0
+
+    x, box = pack_to_density(
+        [_small_mol() for _ in range(4)], target_density_g_cm3=0.5,
+        steps_per_stage=30,
+        cfg_overrides=dict(max_init_relaxation_iters=60))
+    assert x.shape[1] == 3 and box.shape == (3,)
+
+
 @pytest.mark.slow
 def test_boundary_layer_profile():
     from molchanica_tpu.properties.boundary_layer import (
