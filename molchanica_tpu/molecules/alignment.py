@@ -39,6 +39,11 @@ def kabsch(P: np.ndarray, Q: np.ndarray,
     return R, t, rmsd
 
 
+def kabsch_rmsd(P: np.ndarray, Q: np.ndarray) -> float:
+    """Minimum RMSD between two same-order coordinate sets."""
+    return kabsch(P, Q)[2]
+
+
 @dataclass
 class AlignmentResult:
     positions: np.ndarray

@@ -25,18 +25,48 @@ class ConformerSet:
     def best(self) -> np.ndarray:
         return self.coords[0]
 
-    def summary_features(self) -> np.ndarray:
-        """Conformer-ensemble ML features (energy spread, radius of
-        gyration stats — reference conformers.rs feature role)."""
-        rg = []
-        for c in self.coords:
-            com = c.mean(0)
-            rg.append(float(np.sqrt(((c - com) ** 2).sum(1).mean())))
-        rg = np.asarray(rg)
+    def boltzmann_weights(self, temp_k: float = 298.15) -> np.ndarray:
+        """Ensemble weights w_k ∝ exp(-ΔE_k / kT)."""
+        kt = 0.0019872041 * temp_k             # kcal/mol
         e = self.energies - self.energies.min()
+        w = np.exp(-e / kt)
+        return w / w.sum()
+
+    def radii_of_gyration(self) -> np.ndarray:
+        com = self.coords.mean(axis=1, keepdims=True)
+        return np.sqrt(((self.coords - com) ** 2).sum(-1).mean(-1))
+
+    def deduplicate(self, rmsd_threshold: float = 0.5) -> "ConformerSet":
+        """Greedy energy-ordered RMSD dedup (Kabsch-aligned): keep each
+        conformer only if no kept lower-energy conformer is within the
+        threshold. The reference stores a representative conformer set,
+        not every raw torsion sample."""
+        from .alignment import kabsch_rmsd
+
+        keep: List[int] = []
+        for k in range(len(self.coords)):
+            if all(kabsch_rmsd(self.coords[k], self.coords[j])
+                   > rmsd_threshold for j in keep):
+                keep.append(k)
+        return ConformerSet(coords=self.coords[keep],
+                            energies=self.energies[keep],
+                            torsions=self.torsions)
+
+    def summary_features(self, temp_k: float = 298.15) -> np.ndarray:
+        """Conformer-ensemble ML features (energy spread, radius-of-
+        gyration stats, Boltzmann-averaged size + ensemble entropy —
+        reference conformers.rs feature role)."""
+        rg = self.radii_of_gyration()
+        e = self.energies - self.energies.min()
+        w = self.boltzmann_weights(temp_k)
+        rg_boltz = float((w * rg).sum())
+        # ensemble "flexibility entropy" -sum w ln w, normalized
+        ent = float(-(w * np.log(np.maximum(w, 1e-30))).sum()
+                    / max(np.log(max(len(w), 2)), 1e-9))
         return np.asarray([
             len(self.coords), float(e.mean()), float(e.std()),
             float(rg[0]), float(rg.mean()), float(rg.std()),
+            rg_boltz, ent,
         ], np.float32)
 
 
@@ -119,5 +149,24 @@ def generate_conformers(
     energies = np.asarray(
         jax.jit(jax.vmap(energy_one))(jnp.asarray(coords)))
     order = np.argsort(energies)
-    return ConformerSet(coords=coords[order].astype(np.float64),
+    cset = ConformerSet(coords=coords[order].astype(np.float64),
                         energies=energies[order], torsions=torsions)
+    if minimize_best:
+        from ..md.minimize import fire_minimize
+
+        couple = jnp.asarray(1.0, jnp.float32)
+
+        def force_fn(x, box, c):
+            e, grad = jax.value_and_grad(
+                lambda xx: e_fn(xx, box, c)[0])(x)
+            return -grad, (e, None)
+
+        x0 = jnp.asarray(np.pad(cset.coords[0],
+                                ((0, npad - n), (0, 0)),
+                                constant_values=1e6), jnp.float32)
+        dof = jnp.arange(npad) < n
+        x_min, e_min = fire_minimize(force_fn, x0, None, couple,
+                                     dof.astype(jnp.float32), n_steps=200)
+        cset.coords[0] = np.asarray(x_min)[:n]
+        cset.energies[0] = float(e_min)
+    return cset

@@ -34,7 +34,18 @@ def test_conformers_generated_and_ranked():
     assert np.all(np.diff(cs.energies) >= -1e-3)   # sorted
     assert len(cs.torsions) >= 2                    # C-C rotatables
     f = cs.summary_features()
-    assert f.shape == (6,) and np.isfinite(f).all()
+    assert f.shape == (8,) and np.isfinite(f).all()
+    # Boltzmann weights normalize and favor the minimum
+    w = cs.boltzmann_weights()
+    assert abs(w.sum() - 1.0) < 1e-5 and w[0] == w.max()
+    # RMSD dedup returns a subset that keeps the best conformer
+    dd = cs.deduplicate(0.3)
+    assert 1 <= len(dd.coords) <= len(cs.coords)
+    np.testing.assert_allclose(dd.coords[0], cs.coords[0])
+    # minimize_best strictly lowers (or keeps) the best energy
+    cs2 = generate_conformers(_butanol(), n_conformers=8, seed=1,
+                              minimize_best=True)
+    assert cs2.energies[0] <= cs.energies[0] + 1e-6
 
 
 def test_tautomers_keto_enol():
