@@ -75,3 +75,38 @@ more
     es = parse_gromacs_log_energies(log)
     assert len(es) == 2
     assert es[1]["Potential"] == 6.0
+
+
+def test_sonification():
+    """Bonds-as-oscillators audio (reference src/sonification.rs): light
+    atoms / stiff bonds map to higher pitches; output is a valid WAV."""
+    import wave
+
+    import numpy as np
+
+    from molchanica_tpu.molecules.smiles import from_smiles
+    from molchanica_tpu.sonification import (bond_tones, sonify_to_file,
+                                             synthesize)
+
+    mol = from_smiles("CCO")
+    tones = bond_tones(mol, include_h=True)
+    assert len(tones) == len(mol.bonds)
+    # O-H stretch is the highest physical frequency in ethanol
+    el = [e.capitalize() for e in mol.elements]
+    oh = [t for t in tones if {el[t.i], el[t.j]} == {"O", "H"}]
+    assert oh and oh[0].freq_thz == max(t.freq_thz for t in tones)
+    assert all(80.0 <= t.freq_hz <= 5000.0 for t in tones)
+
+    w = synthesize(mol, duration_s=0.2)
+    assert w.shape[0] == int(0.2 * 44100) and np.abs(w).max() <= 1.0
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = sonify_to_file(mol, os.path.join(d, "mol.wav"),
+                           duration_s=0.2)
+        with wave.open(p, "rb") as wf:
+            assert wf.getnchannels() == 1
+            assert wf.getnframes() == int(0.2 * 44100)
+
+    # heavy-only variant drops X-H voices
+    assert len(bond_tones(mol, include_h=False)) < len(tones)
