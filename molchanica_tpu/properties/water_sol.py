@@ -157,8 +157,9 @@ def run_sol_sim_fast(
     sim.step(0.001, 200, force_cap=3000.0)
 
     windows: List[LambdaWindow] = []
-    x_coupled = None
+    coupled_frames: List[np.ndarray] = []
     t0 = time.perf_counter()
+    lam_min = min(lambdas)
     for lam in sorted(lambdas):
         sim.configure_alchemical_window(lam)
         sim.step(dt_ps, equil_steps)
@@ -169,19 +170,26 @@ def run_sol_sim_fast(
             sim.step(dt_ps, todo)
             samples.append(sim.dhdl())
             done += todo
+            # per-snapshot water-contact sampling over the COUPLED
+            # window's production run (the reference analyzes every
+            # snapshot, water_sol.rs:273) — up to ~8 frames
+            if lam == lam_min and len(coupled_frames) < 8 and \
+                    done % max(prod_steps // 8, dhdl_interval) < \
+                    dhdl_interval:
+                coupled_frames.append(sim.positions_unsorted())
         windows.append(LambdaWindow(lam=lam,
                                     dhdl_samples=np.asarray(samples)))
-        if lam == min(lambdas):
-            x_coupled = sim.positions_unsorted()
         if verbose:
             print(f"[ti-fast] lambda={lam:.3f} <dH/dl>="
                   f"{np.mean(samples):.3f} "
                   f"({time.perf_counter()-t0:.0f}s)", flush=True)
     windows.sort(key=lambda w: w.lam)
     dg, sem = free_energy_ti_with_sem(windows)
-    if x_coupled is None:
-        x_coupled = sim.positions_unsorted()
-    contacts, hbonds = _water_contact_stats(asys, x_coupled)
+    if not coupled_frames:
+        coupled_frames.append(sim.positions_unsorted())
+    per_frame = [_water_contact_stats(asys, xf) for xf in coupled_frames]
+    contacts = float(np.mean([c for c, _ in per_frame]))
+    hbonds = float(np.mean([h for _, h in per_frame]))
     i0 = int(np.argmin([w.lam for w in windows]))
     coupled_mean = float(np.mean(windows[i0].dhdl_samples)) \
         if len(windows[i0].dhdl_samples) else float("nan")

@@ -191,6 +191,11 @@ for _n, _f, _d in _CLS:
 # (unlike the proxy targets above, which are honest plumbing tests only).
 EXPERIMENTAL_DATA: Dict[str, str] = {
     "logp_experimental": "data/logp_experimental.csv",
+    # experimental hydration free energies (kcal/mol) for ~90 small
+    # molecules — classic literature values of the kind FreeSolv
+    # curates; the TDC HydrationFreeEnergy_FreeSolv target trains on
+    # measured data here, not a computed surrogate
+    "hydrationfreeenergy_freesolv": "data/freesolv_experimental.csv",
 }
 TARGETS["logp_experimental"] = TargetSpec(
     "logp_experimental", False, _clogp,
