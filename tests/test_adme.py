@@ -76,3 +76,23 @@ def test_scaffold_split(dataset):
     assert len(train) + len(test) == len(mols)
     assert len(test) >= len(mols) // 5
     assert not set(train) & set(test)
+
+
+def test_therapeutic_property_groups():
+    """Grouped ADME/Toxicity orchestration (reference mod.rs:273-345):
+    field mapping is complete and compute fills only trained targets."""
+    from molchanica_tpu.therapeutic.infer import (
+        _FIELD_MAP, Adme, TherapeuticProperties, Toxicity)
+
+    # every mapped field exists on its group dataclass
+    import dataclasses
+    adme_fields = {f.name for f in dataclasses.fields(Adme)}
+    tox_fields = {f.name for f in dataclasses.fields(Toxicity)}
+    for tgt, (grp, fname) in _FIELD_MAP.items():
+        assert fname in (adme_fields if grp == "adme" else tox_fields), \
+            (tgt, grp, fname)
+
+    p = TherapeuticProperties()
+    d = p.as_dict()
+    assert set(d) == {"adme", "toxicity"}
+    assert np.isnan(d["adme"]["lipophilicity"])  # untrained stays NaN
