@@ -92,11 +92,16 @@ def _fu_hydration_proxy(ch, mol):
 
 
 def _pampa_class(ch, mol):
-    return 1.0 if (ch.tpsa < 100.0 and -1.0 < ch.clogp < 5.5) else 0.0
+    # thresholds sit inside the builtin set's descriptor range so both
+    # classes are populated (the TDC rule-of-thumb tpsa<100 never fires
+    # on small fragments)
+    return 1.0 if (ch.tpsa < 30.0 and ch.clogp > 0.5) else 0.0
 
 
 def _pgp_class(ch, mol):
-    return 1.0 if (ch.mol_weight > 400 and ch.h_bond_acceptors >= 6) \
+    # size+polarity trend of P-gp substrates, thresholded inside the
+    # builtin set's range so the class split is non-degenerate
+    return 1.0 if (ch.mol_weight > 160 and ch.h_bond_acceptors >= 3) \
         else 0.0
 
 
@@ -114,17 +119,23 @@ def _ames_class(ch, mol):
 
 
 def _dili_class(ch, mol):
-    return 1.0 if (ch.clogp > 3.0 and ch.mol_weight > 300) else 0.0
+    # lipophilicity-driven hepatotoxicity trend, thresholded inside the
+    # builtin set's MW range (<=240) so both classes are populated
+    return 1.0 if (ch.clogp > 2.5 and ch.mol_weight > 150) else 0.0
 
 
 def _herg_class(ch, mol):
+    # basic-amine + lipophilicity hERG pharmacophore trend (threshold
+    # inside the builtin set's clogp range)
     fg = ch.functional_groups
-    return 1.0 if (ch.clogp > 3.5 and fg.amine > 0) else 0.0
+    return 1.0 if (ch.clogp > 1.5 and fg.amine > 0) else 0.0
 
 
 def _carcinogen_class(ch, mol):
+    # structural-alert census: nitro/halogen load or fused aromatics
     fg = ch.functional_groups
-    return 1.0 if (fg.nitro + fg.halogen >= 2) else 0.0
+    return 1.0 if (fg.nitro + fg.halogen >= 1
+                   or ch.n_aromatic_rings >= 2) else 0.0
 
 
 def _skin_class(ch, mol):
@@ -134,9 +145,10 @@ def _skin_class(ch, mol):
 
 
 def _bioavail_class(ch, mol):
-    # Lipinski-ish oral bioavailability gate
-    return 1.0 if (ch.mol_weight < 500 and ch.h_bond_donors <= 5
-                   and ch.h_bond_acceptors <= 10 and ch.clogp < 5) else 0.0
+    # Lipinski-ish gate tightened to discriminate within small fragments
+    # (everything in the builtin set passes the classic rule-of-5)
+    return 1.0 if (ch.h_bond_donors <= 1 and ch.tpsa < 45.0
+                   and ch.clogp < 4.0) else 0.0
 
 
 # Full 24-dataset TDC registry (reference DatasetTdc enum,
