@@ -59,18 +59,43 @@ R2_MIN = 0.25
 # LJ distances are additionally floored at SIG_CLAMP * sigma_ij: excluded
 # intramolecular pairs sit at ~0.3 sigma where r^-12 reaches ~1e7 and the
 # f32 window-minus-subtraction cancellation would leave O(1) kcal/mol noise.
-# CRITICAL SAFETY MARGIN: the kernel and the exclusion-subtraction path
-# compute r^2 through different f32 op orders, so any pair whose distance
-# distribution has density AT the clamp boundary occasionally rounds to
-# opposite sides of the kink in the two paths — leaving the full LJ-wall
-# force (~5e4 kcal/mol/A) uncancelled for one step. At 0.45 sigma the C-C
-# bond (1.526 A = 0.447 sigma) sat exactly on the boundary: one mega-kick
-# every ~1.5k steps at 25k atoms (the recurring 2 fs NVE blowups).
-# 0.40 sigma puts every bonded/excluded contact >= 5 vibrational sigmas
-# from the kink while still capping r^-12 at ~6e4 (f32 cancellation noise
-# ~1e-2 kcal/mol per pair). Forces remain -grad(E) (flat below the clamp).
+#
+# The clamp is C1-SMOOTH (quadratic blend over [_S2_LO, _S2_HI] in s^2
+# space), NOT a hard min. History: a hard clamp makes the force
+# DISCONTINUOUS at the boundary, and the kernel and the exclusion-
+# subtraction path compute r^2 through different f32 op orders — any pair
+# whose distance distribution has density AT the boundary occasionally
+# rounds to opposite sides of the kink in the two paths, leaving the full
+# LJ-wall force uncancelled for one step. At 0.45 sigma the C-C bond
+# (1.526 A = 0.447 sigma) sat on the boundary; moving it to 0.40 landed it
+# exactly on the amide C-N bond (1.335 A = 0.4006 sigma_CN) — a +-130,000
+# kcal/mol/A mega-kick every few hundred steps at 25k sites (root cause of
+# the round-3 "explodes at step ~350-440" instability, pinned by exact-
+# state bisection: carried force on one C/N pair = the full boundary LJ
+# wall, equal-and-opposite, while fresh re-evaluation was normal). With
+# the quadratic blend the force tapers continuously to zero across a band
+# ~1e5 ulps wide, so a one-ulp r^2 disagreement between the two paths
+# costs O(ulp * dF/dr2) ~ 1e-1 kcal/mol/A instead of the full wall.
+# Energy: LJ below _S2_LO, capped at _S2_MAX above _S2_HI, C1 in between.
+# Forces remain exactly -grad(E) everywhere in BOTH paths.
 SIG_CLAMP = 0.40
 _S2_MAX = 1.0 / (SIG_CLAMP * SIG_CLAMP)
+_S2_BLEND = 0.0625               # relative half-width of the C1 blend band
+_S2_LO = _S2_MAX * (1.0 - _S2_BLEND)
+_S2_HI = _S2_MAX * (1.0 + _S2_BLEND)
+_S2_W = _S2_HI - _S2_LO
+
+
+def _s2_clamped(s2_raw):
+    """C1 soft cap of s^2 = (sigma/r)^2 at _S2_MAX: identity below _S2_LO,
+    quadratic blend on [_S2_LO, _S2_HI], constant _S2_MAX above. Returns
+    (s2_eff, d s2_eff / d s2_raw). Shared by the Pallas kernel and the
+    pairlist subtraction path so excluded-pair forces cancel to roundoff
+    WITHOUT requiring bit-identical branch decisions."""
+    u = jnp.clip(s2_raw - _S2_LO, 0.0, _S2_W)
+    s2 = jnp.minimum(s2_raw, _S2_HI) - u * u * (0.5 / _S2_W)
+    gp = 1.0 - u * (1.0 / _S2_W)
+    return s2, gp
 
 
 def erfcx_cheb_coeffs(xmax: float, deg: int = 12) -> np.ndarray:
@@ -512,17 +537,15 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
         cpl = alch
         eps4 = eps4 * cpl
     sig2 = sig * sig
-    # sigma clamp in s^2 space: s2 = sig^2/max(r2, c^2 sig^2)
-    #                              = min(sig^2 * inv_r2, 1/c^2)
-    # — division-free (VPU divide measured ~26x an fma); flat (zero force)
-    # below the clamp
+    # C1 soft sigma clamp in s^2 space (division-free; see _s2_clamped).
+    # dV/dr2 = dV/ds2 * gp * ds2_raw/dr2 with ds2_raw/dr2 = -s2_raw*inv_r2:
+    # at gp=1, s2=s2_raw this reduces to the classic (3 s6 - 6 s12)*inv_r2.
     s2_raw = sig2 * inv_r2
-    s2 = jnp.minimum(s2_raw, _S2_MAX)
+    s2, gp = _s2_clamped(s2_raw)
     s6 = s2 * s2 * s2
     s12 = s6 * s6
     e_lj = eps4 * (s12 - s6)
-    dlj = jnp.where(s2_raw > _S2_MAX, 0.0,
-                    eps4 * (3.0 * s6 - 6.0 * s12) * inv_r2)
+    dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) * (3.0 - 6.0 * s6)
 
     kqq = qi * jq                         # inputs are q * sqrt(k_C)
     if alch is not None:
@@ -775,7 +798,7 @@ def pairlist_colpair_energy(x, box, idx, mask, q_kc, sig_half, eps_2sqrt,
     cpl = 1.0 - is_alch * (1.0 - couple)
     eps4 = eps4 * cpl
     sig2 = sig * sig
-    s2 = jnp.minimum(sig2 * inv_r2, _S2_MAX)   # same clamp as the kernel
+    s2, _ = _s2_clamped(sig2 * inv_r2)         # same C1 clamp as the kernel
     s6 = s2 * s2 * s2
     s12 = s6 * s6
     e_lj = eps4 * (s12 - s6)

@@ -56,12 +56,15 @@ def _dense_reference(xw, q, sig, eps, box, rc, beta, couple_mask=None,
         cpl = 1.0 - is_alch * (1.0 - couple)
         eps4 = eps4 * cpl
         kqq = kqq * cpl
-    from molchanica_tpu.ops.pallas.colpair import SIG_CLAMP
-    r2lj = np.maximum(r2s, (SIG_CLAMP * s) ** 2)
-    s6 = (s * s / r2lj) ** 3
+    from molchanica_tpu.ops.pallas.colpair import _S2_HI, _S2_LO, _S2_W
+    s2_raw = (s * s) * inv_r2
+    u = np.clip(s2_raw - _S2_LO, 0.0, _S2_W)
+    s2 = np.minimum(s2_raw, _S2_HI) - u * u * (0.5 / _S2_W)
+    gp = 1.0 - u * (1.0 / _S2_W)
+    s6 = s2 ** 3
     s12 = s6 ** 2
     e_lj = eps4 * (s12 - s6)
-    dlj = np.where(r2s >= r2lj, eps4 * (3 * s6 - 6 * s12) / r2lj, 0.0)
+    dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) * (3.0 - 6.0 * s6)
     r = r2s * inv_r
     erfc_v = erfc(beta * r)
     e_c = kqq * erfc_v * inv_r
@@ -198,3 +201,50 @@ def test_pairlist_formula_matches_dense():
                    * erfc(beta * r) / r, 0)).sum()
     assert abs(float(e_lj) - el) / max(abs(el), 1) < 2e-5
     assert abs(float(e_c) - ec) / max(abs(ec), 1) < 2e-5
+
+
+def test_sigma_clamp_is_c1_and_two_path_consistent():
+    """Regression for the round-3 25k explosion: the LJ sigma-clamp must be
+    C1-smooth so that the kernel's analytic force and the exclusion
+    subtraction's autodiff force agree even when their f32 r^2 round to
+    opposite sides of a branch point. With the old hard clamp, the amide
+    C-N bond (1.335 A = 0.4006 sigma) sat exactly on the kink and a one-ulp
+    disagreement left the full ~1.3e5 kcal/mol/A LJ wall uncancelled."""
+    from molchanica_tpu.ops.pallas.colpair import (
+        _S2_HI, _S2_LO, _S2_MAX, _S2_W, _s2_clamped)
+
+    # C1 properties of the cap
+    xs = jnp.linspace(_S2_LO - 1.0, _S2_HI + 1.0, 4001)
+    s2, gp = _s2_clamped(xs)
+    below = xs < _S2_LO
+    assert float(jnp.max(jnp.abs(s2[below] - xs[below]))) == 0.0
+    assert abs(float(s2[-1]) - _S2_MAX) < 1e-6
+    d_num = jnp.gradient(s2, xs[1] - xs[0])
+    assert float(jnp.max(jnp.abs(d_num[2:-2] - gp[2:-2]))) < 2e-3
+    assert bool(jnp.all(jnp.diff(s2) >= -1e-7))
+
+    # two-path force consistency across the whole clamp neighbourhood:
+    # analytic kernel dlj vs autodiff of the blended energy, at r2 and at
+    # r2 +- 1 ulp (emulating the two paths' independent f32 rounding)
+    eps4 = 0.48
+    sig2 = 3.3249 ** 2         # amber amide C-N sigma_ij
+
+    def e_of_r2(r2):
+        s2c, _ = _s2_clamped(sig2 / r2)
+        s6 = s2c * s2c * s2c
+        return eps4 * (s6 * s6 - s6)
+
+    g = jax.vmap(jax.grad(e_of_r2))
+    r2v = np.linspace(1.2, 2.4, 4001).astype(np.float32)  # spans the band
+    r2u = np.nextafter(r2v, 4.0, dtype=np.float32)        # +1 ulp path
+    inv_r2 = 1.0 / r2v
+    s2_raw = sig2 * inv_r2
+    s2c, gpv = _s2_clamped(s2_raw)
+    s6 = s2c * s2c * s2c
+    dlj = eps4 * inv_r2 * (gpv * s2_raw) * (s2c * s2c) * (3.0 - 6.0 * s6)
+    res_same = np.abs(np.asarray(g(jnp.asarray(r2v))) - np.asarray(dlj))
+    res_ulp = np.abs(np.asarray(g(jnp.asarray(r2v)))
+                     - np.asarray(g(jnp.asarray(r2u))))
+    # old hard clamp: res_ulp peaked at ~1e5; C1 blend keeps it tiny
+    assert res_same.max() < 1.0, res_same.max()
+    assert res_ulp.max() < 5.0, res_ulp.max()
