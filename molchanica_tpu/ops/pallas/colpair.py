@@ -338,18 +338,19 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
     -> (wl [NC, 3*W_MAX] int32, nw [NC] int32, overflow int32).
 
     Each entry is (lo, hi, shift_code): a [lo, hi) SLOT RANGE (up to 27 per
-    cluster: 9 columns x 3 z-ranges) plus the packed periodic x/y shift the
-    kernel adds to the j-tile (code = (sx+1) + 3(sy+1) + 9, s in {-1,0,1}
-    box lengths). Baking the x/y shift per entry is EXACT min-image for all
-    in-cutoff pairs (column width >= rcw and nx,ny >= 3 by plan_columns), so
-    the kernel skips per-pair min-image on x/y (6 VPU ops/pair). z keeps the
-    per-pair min-image: a cluster is a 64-slot z-sorted run whose extent is
-    unbounded, so no single per-entry z-shift is valid for all its members.
-    The kernel iterates the 128-lane slices of a range internally, so range
-    length never limits the table; wrap ranges are clipped against the main
-    range IN QUANTIZED-BIN SPACE (wrap bins strictly outside the main bins),
-    so no (i, j-slot) pair is ever covered twice even when a wrap boundary
-    and the main boundary quantize into the same z bin.
+    cluster: 9 columns x 3 z-ranges) plus the packed periodic x/y/z shift
+    the kernel adds to the j-tile (code = (sx+1) + 3(sy+1) + 9(sz+1), s in
+    {-1,0,1} box lengths). Baking the full shift per entry is EXACT
+    min-image for all in-cutoff pairs (column width >= rcw, nx,ny >= 3 and
+    lz >= 2*rcw by plan_columns), so the kernel does NO per-pair min-image
+    at all (x/y: 6 VPU ops, z: 4 VPU ops per pair saved). The z digit comes
+    from the wrap ranges (main = 0; a wrap range reads the opposite end of
+    the column with the image baked in). Ranges may OVERLAP: two entries
+    covering the same slot carry different images, and with every box edge
+    > 2*rc at most one image of a pair lies inside the cutoff — the other
+    is masked by r2 < rc2, so no pair is ever double-counted. The kernel
+    iterates the 128-lane slices of a range internally, so range length
+    never limits the table.
 
     triangular=True clamps ranges to slots >= the cluster start: with the
     kernel's gid > i_slot diagonal mask and j-side accumulation (Newton's
@@ -445,28 +446,35 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
             zlo_c = zmin_c - zr
             zhi_c = zmax_c + zr
             # up to two extra z-ranges: main [zlo, zhi] clipped to the box,
-            # plus wrap ranges made disjoint from the main range in BIN
-            # space (a wrap bin range never touches a main bin, so equal
-            # quantized boundary keys cannot double-cover a slot; whenever
-            # a wrap range is valid the main range covers its boundary bin)
-            bin_main_lo = zq(jnp.maximum(zlo_c, 0.0))
-            bin_main_hi = zq(jnp.minimum(zhi_c, lz))
+            # plus wrap ranges reading the opposite end of the column with
+            # the z-image BAKED into the entry (sz digit): wrap=1 reads the
+            # column TOP for images below z=0 (stored = unwrapped + lz,
+            # s = -1); wrap=2 reads the bottom for images above lz (s = +1).
+            # Baking sz makes the entry shift a FULL exact min-image, so
+            # the kernel needs no per-pair z round (4 VPU ops/pair), AND
+            # overlapping ranges are harmless: two entries covering the
+            # same slot carry different images, and with every box edge
+            # > 2*rc at most one image of a pair is inside the cutoff —
+            # the other is masked by r2 < rc2. (This also removes the old
+            # disjointness clamping and its thin-box clip hazard, where a
+            # saturated main range silently dropped the wrap images.)
             for wrap in (0, 1, 2):   # 0 = main, 1 = low wrap, 2 = high wrap
                 if wrap == 0:
-                    blo = bin_main_lo
-                    bhi = bin_main_hi
+                    blo = zq(jnp.maximum(zlo_c, 0.0))
+                    bhi = zq(jnp.minimum(zhi_c, lz))
                     ok = (zhi_c > jnp.maximum(zlo_c, 0.0)) \
                         & any_valid & in_reach
                 elif wrap == 1:      # zlo < 0: neighbors at the column top
-                    blo = jnp.maximum(zq(zlo_c + lz), bin_main_hi + 1)
+                    blo = zq(zlo_c + lz)
                     bhi = jnp.full_like(blo, NB - 1)
                     ok = (zlo_c < 0.0) & any_valid & in_reach
                 else:                # zhi > Lz: neighbors at the bottom
-                    blo = jnp.zeros_like(bin_main_lo)
-                    bhi = jnp.minimum(zq(zhi_c - lz), bin_main_lo - 1)
+                    bhi = zq(zhi_c - lz)
+                    blo = jnp.zeros_like(bhi)
                     ok = (zhi_c > lz) & any_valid & in_reach
                 ok = ok & (bhi >= blo)
-                code = (sx + 1) + 3 * (sy + 1) + 9
+                szd = (1, 0, 2)[wrap]
+                code = (sx + 1) + 3 * (sy + 1) + 9 * szd
                 entries.append((blo, bhi, code, jcol))
                 valids.append(ok)
         blo_all = jnp.stack([jnp.clip(e[0], 0, NB - 1)
@@ -604,12 +612,15 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
         lo = wl_ref[crow, 3 * w + 1]
         hi = wl_ref[crow, 3 * w + 2]
         code = wl_ref[crow, 3 * w + 3]
-        # per-entry x/y shift: stored j = unwrapped - s*L with s decoded
+        # per-entry x/y/z shift: stored j = unwrapped - s*L with s decoded
         # from the entry; adding s*L reconstructs the unwrapped j, which
-        # replaces per-pair x/y minimum image (6 VPU ops/pair) with two
-        # scalar adds per window entry. z keeps per-pair min-image.
+        # replaces ALL per-pair minimum image (x/y: 6 ops, z: 4 ops) with
+        # three scalar adds per window entry. The z digit comes from the
+        # wrap ranges (main = 0), which are exact: a range never mixes
+        # wrapped and unwrapped z-images of in-cutoff pairs.
         shx = (code % 3 - 1).astype(jnp.float32) * lx
         shy = ((code // 3) % 3 - 1).astype(jnp.float32) * ly
+        shz = (code // 9 - 1).astype(jnp.float32) * lz
         s0 = lo // n_lanes
         n_sl = (hi + n_lanes - 1) // n_lanes - s0
 
@@ -631,7 +642,7 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
                 jok = jok & (gid > islot)
             jx = pT_ref[0:1, pl.ds(start, n_lanes)] + shx
             jy = pT_ref[1:2, pl.ds(start, n_lanes)] + shy
-            jz = pT_ref[2:3, pl.ds(start, n_lanes)]
+            jz = pT_ref[2:3, pl.ds(start, n_lanes)] + shz
             jq = pT_ref[3:4, pl.ds(start, n_lanes)]
             jsh = pT_ref[4:5, pl.ds(start, n_lanes)]
             jse = pT_ref[5:6, pl.ds(start, n_lanes)]
@@ -643,7 +654,7 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             coeff, e_lj, e_c, dx, dy, dz = _pair_tile(
                 xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
                 rc2, beta, coeffs, want_energy, alch,
-                zmi=(lz, ilz), jmask=jok)
+                zmi=None, jmask=jok)
             fx = fx - (2.0 * coeff) * dx
             fy = fy - (2.0 * coeff) * dy
             fz = fz - (2.0 * coeff) * dz
