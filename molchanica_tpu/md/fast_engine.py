@@ -337,6 +337,13 @@ class FastSim:
         self._direct = make_colpair_direct_fn(
             self.plan, has_alch=has_alch, want_energy=True,
             interpret=interpret, triangular=tri)
+        # force-only kernel for the hot (non-recording) chunk path: the
+        # LJ/Coulomb energy accumulators cost ~8-10% of the pair tile and
+        # are only needed at snapshot/record time (explicit variant — not
+        # compiler DCE; see _pair_tile)
+        self._direct_ne = make_colpair_direct_fn(
+            self.plan, has_alch=has_alch, want_energy=False,
+            interpret=interpret, triangular=tri)
 
         # sort/window programs. The sort is ANCHOR-based: one key per
         # molecule block (waters) / free atom, argsort over ~N/3 keys, then
@@ -606,6 +613,8 @@ class FastSim:
         scee = self._p14_scee
         scnb = self._p14_scnb
 
+        direct = self._direct if want_energy else self._direct_ne
+
         def force(x, st: FastState):
             box = st.box
             couple = st.couple
@@ -614,7 +623,7 @@ class FastSim:
             rows = jnp.concatenate(
                 [x_v, props, jnp.zeros((self.S, 0), jnp.float32)], axis=1)
             pT = rows.T
-            f_dir, e_lj, e_c = self._direct(
+            f_dir, e_lj, e_c = direct(
                 rows, pT, st.wl, st.nw, box, couple)
 
             q_kc = props[:, 0]
@@ -865,10 +874,12 @@ class FastSim:
     # ------------------------------------------------------------------
     def _get_chunk_fn(self, dt: float, k_steps: int, record_energy: bool,
                       force_cap):
-        # record_energy no longer changes the compiled program (per-step
-        # energies always flow out of the scan as device scalars) — fewer
-        # compile variants, less setup time.
-        key = (dt, k_steps, force_cap)
+        # record_energy selects the kernel variant: hot chunks use the
+        # force-only pair tile (the LJ/Coulomb accumulators cost ~8-10%);
+        # recording chunks pay for true per-step energies. pe_last from a
+        # hot chunk holds only the bonded/recip remainder — snapshots
+        # recompute the full energy on demand (_record_snapshot).
+        key = (dt, k_steps, bool(record_energy), force_cap)
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
@@ -876,7 +887,7 @@ class FastSim:
 
         cfg = self.cfg
         cp, cv = self._make_cp_cv()
-        force = self._make_force_fn(None)
+        force = self._make_force_fn(None, want_energy=record_energy)
 
         def make_one(st):
             force_st = lambda x, box, couple: force(x, st)
@@ -1033,7 +1044,12 @@ class FastSim:
         # remote-compiler miscompile. Either way, continuing would only
         # produce NaN garbage; callers can retry in a fresh process to
         # discriminate (a miscompile usually recompiles clean).
-        if not np.isfinite(float(self.state.pe_last)) and n_steps > 0:
+        # ke_last is in the gate because hot (non-recording) chunks carry
+        # only the bonded/recip remainder in pe_last; a direct-space blowup
+        # reaches the velocities within the same chunk.
+        bad = (not np.isfinite(float(self.state.pe_last))
+               or not np.isfinite(float(self.state.ke_last)))
+        if bad and n_steps > 0:
             raise MiscompiledStepError(
                 "non-finite energy after step chunk (instability or, "
                 "rarely, an axon remote-compile fault — retry in a fresh "
@@ -1093,6 +1109,14 @@ class FastSim:
     def _record_snapshot(self, dt_ps):
         from .snapshot import Snapshot, EnergyData
         x = self.positions_unsorted()
+        # hot chunks run the force-only kernel (no LJ/Coulomb energies);
+        # recompute the full decomposition here — one energy eval per
+        # snapshot, amortized to ~0 at any realistic snapshot interval
+        if not hasattr(self, "_snap_energy_fn"):
+            e_force = self._make_force_fn(None, want_energy=True)
+            self._snap_energy_fn = jax.jit(
+                lambda st: e_force(st.x, st)[1][1])
+        self._last_terms = self._snap_energy_fn(self.state)
         terms = {kk: float(v) for kk, v in self._last_terms.items()}
         ed = EnergyData(
             energy_potential=terms.get("energy_potential", 0.0),

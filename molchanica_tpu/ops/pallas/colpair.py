@@ -551,8 +551,6 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
     s2_raw = sig2 * inv_r2
     s2, gp = _s2_clamped(s2_raw)
     s6 = s2 * s2 * s2
-    s12 = s6 * s6
-    e_lj = eps4 * (s12 - s6)
     dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) * (3.0 - 6.0 * s6)
 
     kqq = qi * jq                         # inputs are q * sqrt(k_C)
@@ -564,11 +562,15 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
     for c in coeffs[-2::-1]:
         g = g * x + c
     erfc_v = g * ex
-    e_c = kqq * erfc_v * inv_r
     dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
                           + (0.5 * _TWO_OVER_SQRT_PI * beta) * ex)
     coeff = jnp.where(valid, dlj + dc, 0.0)
     if want_energy:
+        # energies are gated EXPLICITLY (not left to compiler DCE: the
+        # axon relay has miscompiled DCE'd kernel variants before)
+        s12 = s6 * s6
+        e_lj = eps4 * (s12 - s6)
+        e_c = kqq * erfc_v * inv_r
         zero = jnp.zeros_like(e_lj)
         return coeff, jnp.where(valid, e_lj, zero), \
             jnp.where(valid, e_c, zero), dx, dy, dz
