@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -579,7 +580,7 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
 
 def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             rc2, beta, coeffs, want_energy, n_lanes, has_alch,
-            triangular=False):
+            triangular=False, mxu=False):
     c = pl.program_id(0)
     crow = c - (c // 8) * 8      # row within this program's (8, W) wl block
     irow = rows_ref[:, :]                         # [ICL, 8] (blocked)
@@ -610,7 +611,8 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             jnp.int32, (ICL, 1), 0)
 
     def body(w, carry):
-        fx, fy, fz, elj, ec = carry
+        # carry: mxu -> (fi [ICL,3], rs [ICL,1], elj, ec)
+        #        vpu -> (fx, fy, fz, elj, ec), each [ICL, n_lanes]
         lo = wl_ref[crow, 3 * w + 1]
         hi = wl_ref[crow, 3 * w + 2]
         code = wl_ref[crow, 3 * w + 3]
@@ -627,7 +629,10 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
         n_sl = (hi + n_lanes - 1) // n_lanes - s0
 
         def slice_body(s, carry2):
-            fx, fy, fz, elj, ec = carry2
+            if mxu:
+                fi, rs, elj, ec = carry2
+            else:
+                fx, fy, fz, elj, ec = carry2
             start = pl.multiple_of((s0 + s) * n_lanes, n_lanes)
             gid = lane + start
             # explicit masking: run bounds + padded-slot sentinel rows +
@@ -657,31 +662,59 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
                 xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
                 rc2, beta, coeffs, want_energy, alch,
                 zmi=None, jmask=jok)
-            fx = fx - (2.0 * coeff) * dx
-            fy = fy - (2.0 * coeff) * dy
-            fz = fz - (2.0 * coeff) * dz
-            if triangular:
-                # reaction on j: += 2 coeff d, reduced over the i sublanes
-                sl = pl.ds(start, n_lanes)
-                o2_ref[0:1, sl] = o2_ref[0:1, sl] + jnp.sum(
-                    (2.0 * coeff) * dx, axis=0, keepdims=True)
-                o2_ref[1:2, sl] = o2_ref[1:2, sl] + jnp.sum(
-                    (2.0 * coeff) * dy, axis=0, keepdims=True)
-                o2_ref[2:3, sl] = o2_ref[2:3, sl] + jnp.sum(
-                    (2.0 * coeff) * dz, axis=0, keepdims=True)
+            c2 = 2.0 * coeff
+            if mxu:
+                # force contraction on the MXU: f_i = -sum_j c2 (pi - pj)
+                # accumulated as (c2 @ pj^T, rowsum(c2)); the rs*pi part
+                # is applied once at the end. Reaction likewise via
+                # pi^T @ c2 - colsum(c2)*pj. Replaces ~9 VPU fma/slot.
+                pj = jnp.concatenate([jx, jy, jz], axis=0)     # [3, L]
+                fi = fi + jax.lax.dot_general(
+                    c2, pj, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [ICL, 3]
+                rs = rs + jnp.sum(c2, axis=1, keepdims=True)   # [ICL, 1]
+                if triangular:
+                    pi = jnp.concatenate([xi, yi, zi], axis=1)  # [ICL, 3]
+                    rj = jax.lax.dot_general(
+                        pi, c2, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # [3, L]
+                    cs = jnp.sum(c2, axis=0, keepdims=True)    # [1, L]
+                    sl = pl.ds(start, n_lanes)
+                    o2_ref[0:3, sl] = o2_ref[0:3, sl] + rj - cs * pj
+            else:
+                fx = fx - c2 * dx
+                fy = fy - c2 * dy
+                fz = fz - c2 * dz
+                if triangular:
+                    # reaction on j: += 2 coeff d, reduced over i sublanes
+                    sl = pl.ds(start, n_lanes)
+                    o2_ref[0:1, sl] = o2_ref[0:1, sl] + jnp.sum(
+                        c2 * dx, axis=0, keepdims=True)
+                    o2_ref[1:2, sl] = o2_ref[1:2, sl] + jnp.sum(
+                        c2 * dy, axis=0, keepdims=True)
+                    o2_ref[2:3, sl] = o2_ref[2:3, sl] + jnp.sum(
+                        c2 * dz, axis=0, keepdims=True)
             if want_energy:
                 elj = elj + e_lj
                 ec = ec + e_c
+            if mxu:
+                return fi, rs, elj, ec
             return fx, fy, fz, elj, ec
 
         return jax.lax.fori_loop(0, n_sl, slice_body, carry)
 
-    fx, fy, fz, elj, ec = jax.lax.fori_loop(
-        0, nw, body, (zero, zero, zero, zero, zero))
-
-    o_ref[:, 0:1] = jnp.sum(fx, axis=1, keepdims=True)
-    o_ref[:, 1:2] = jnp.sum(fy, axis=1, keepdims=True)
-    o_ref[:, 2:3] = jnp.sum(fz, axis=1, keepdims=True)
+    if mxu:
+        fi, rs, elj, ec = jax.lax.fori_loop(
+            0, nw, body, (jnp.zeros((ICL, 3), jnp.float32),
+                          jnp.zeros((ICL, 1), jnp.float32), zero, zero))
+        pi_mat = jnp.concatenate([xi, yi, zi], axis=1)          # [ICL, 3]
+        o_ref[:, 0:3] = fi - rs * pi_mat
+    else:
+        fx, fy, fz, elj, ec = jax.lax.fori_loop(
+            0, nw, body, (zero, zero, zero, zero, zero))
+        o_ref[:, 0:1] = jnp.sum(fx, axis=1, keepdims=True)
+        o_ref[:, 1:2] = jnp.sum(fy, axis=1, keepdims=True)
+        o_ref[:, 2:3] = jnp.sum(fz, axis=1, keepdims=True)
     ehalf = 1.0 if triangular else 0.5   # triangular visits each pair once
     if want_energy:
         o_ref[:, 3:4] = ehalf * jnp.sum(elj, axis=1, keepdims=True)
@@ -713,10 +746,13 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
     beta = float(plan.beta)
     coeffs = tuple(float(v) for v in plan.erfcx_coeffs)
 
+    # MXU force contraction: off by default until A/B-validated on chip
+    # (interpret-mode CPU tests validate the math either way).
+    mxu = os.environ.get("MOLCHANICA_COLPAIR_MXU", "0") == "1"
     kernel = functools.partial(
         _kernel, rc2=rc2, beta=beta, coeffs=coeffs,
         want_energy=want_energy, n_lanes=128, has_alch=has_alch,
-        triangular=triangular)
+        triangular=triangular, mxu=mxu)
 
     # SMEM row width padded to a multiple of 8 words (alignment-safe)
     _WL_W = ((3 * W_MAX + 1 + 7) // 8) * 8
