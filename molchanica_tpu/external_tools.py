@@ -56,6 +56,18 @@ REGISTRY: Dict[str, ToolSpec] = {
     "mdtraj": ToolSpec(
         "mdtraj", ToolKind.MD_ENGINE, ("mdconvert",),
         "MDTraj trajectory conversion", pip_package="mdtraj"),
+    # structure-prediction backends (reference: src/structure_prediction/
+    # mod.rs — third-party models driven through the registry, never a bare
+    # PATH assumption; a missing model never prevents startup)
+    "boltz2": ToolSpec(
+        "boltz2", ToolKind.STRUCTURE_ML, ("boltz",),
+        "Boltz-2 structure + affinity prediction", pip_package="boltz"),
+    "esmfold": ToolSpec(
+        "esmfold", ToolKind.STRUCTURE_ML, ("esm-fold",),
+        "ESMFold protein structure prediction", pip_package="fair-esm"),
+    "opendde": ToolSpec(
+        "opendde", ToolKind.STRUCTURE_ML, ("opendde",),
+        "OpenDDE structure prediction"),
 }
 
 

@@ -28,8 +28,13 @@ def build_peptide(sequence: str, phi=-135.0, psi=135.0) -> MoleculeCommon:
     sequence: 1-letter codes. Returns MoleculeCommon with ALL heavy atoms
     (side chains placed by ideal geometry) and no hydrogens — feed to
     prepare_peptide for H's + parameters.
+
+    phi/psi: scalar backbone dihedrals, or per-residue arrays [len(seq)]
+    (used by structure_prediction's secondary-structure baseline).
     """
     seq3 = [AA1_TO_3[c.upper()] for c in sequence]
+    phi_a = np.broadcast_to(np.asarray(phi, float), (len(seq3),))
+    psi_a = np.broadcast_to(np.asarray(psi, float), (len(seq3),))
     elements: List[str] = []
     names: List[str] = []
     resn: List[str] = []
@@ -66,10 +71,11 @@ def build_peptide(sequence: str, phi=-135.0, psi=135.0) -> MoleculeCommon:
             C = CA + b_CaC * np.array([np.cos(np.pi - ang),
                                        np.sin(np.pi - ang), 0])
         else:
-            N = extend(prev["N"], prev["CA"], prev["C"], b_CN, 116.6, psi)
+            N = extend(prev["N"], prev["CA"], prev["C"], b_CN, 116.6,
+                       psi_a[r - 1])
             CA = extend(prev["CA"], prev["C"], N, b_NCa, 121.9, 180.0)
-            C = extend(prev["C"], N, CA, b_CaC, 110.1, phi)
-        O = extend(N, CA, C, b_CO, 120.4, psi + 180.0)
+            C = extend(prev["C"], N, CA, b_CaC, 110.1, phi_a[r])
+        O = extend(N, CA, C, b_CO, 120.4, psi_a[r] + 180.0)
 
         coords = {"N": N, "CA": CA, "C": C, "O": O}
         for nm, ty, _q in tpl["atoms"]:
