@@ -118,8 +118,9 @@ def config4_docking():
         c, r = pocket.docking_site()
         site = DockingSite(site_center=c, site_radius=min(r, 10.0))
     setup = DockingSetup.new(rec, site)
-    poses = init_poses(lig.positions, site, n_posits=16, n_orientations=40,
-                       seed=1)[:10000]
+    poses = init_poses(lig.positions, site.site_center,
+                       site_radius=float(site.site_radius), n_grid=8,
+                       n_orientations=40, max_poses=10000, seed=1)
     # compile
     score_poses(setup, lig, poses[:128])
     t0 = time.perf_counter()
@@ -128,7 +129,7 @@ def config4_docking():
     el = time.perf_counter() - t0
     report("4_docking_10k_poses",
            n_poses=int(n), poses_per_sec=round(n / el, 1),
-           best_kcal=round(float(np.min(np.asarray(e))), 2),
+           best_kcal=round(float(np.min(np.asarray(e.total))), 2),
            receptor=source)
 
 
