@@ -597,7 +597,6 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
     ly = box_ref[0, 1]
     lz = box_ref[0, 2]
     couple = box_ref[0, 3]
-    ilz = box_ref[0, 6]
 
     nw = wl_ref[crow, 0]
     zero = jnp.zeros((ICL, n_lanes), jnp.float32)
