@@ -137,3 +137,120 @@ def spatial_reference_force(x, mask, q, sig, eps, box, rc):
     e, f = _pair_energy_force(x, mask, x, mask, q, q, sig, sig, eps, eps,
                               boxj, rc)
     return e, f
+
+
+def make_spatial_step_fn(mesh: Mesh, axis: str, box, rc: float,
+                         dt: float, gamma: float, temp_target: float):
+    """Sharded Langevin-middle MD chunk: k steps of ONE simulation
+    decomposed over the mesh, halo forces exchanged via ppermute every
+    step. Returns chunk(x_sh, v_sh, m_sh, q, s, e, mass, key, k) ->
+    (x_sh, v_sh, ke_total).
+
+    Per-device RNG: the caller's key is folded with the shard index, so
+    the noise stream is independent per slab and reproducible."""
+    from ..constants import ACCEL_FACTOR, KB
+
+    n_dev = mesh.shape[axis]
+    boxj = jnp.asarray(box, jnp.float32)
+    c1 = jnp.exp(-gamma * dt)
+
+    def slab_force(x, m, q, s, e):
+        etot, f = _pair_energy_force(x, m, x, m, q, q, s, s, e, e,
+                                     boxj, rc)
+        for side in (+1, -1):
+            xn, mn, qn, sn, en = x, m, q, s, e
+            perm = [(i, (i + side) % n_dev) for i in range(n_dev)]
+            xn = jax.lax.ppermute(xn, axis, perm)
+            mn = jax.lax.ppermute(mn, axis, perm)
+            qn = jax.lax.ppermute(qn, axis, perm)
+            sn = jax.lax.ppermute(sn, axis, perm)
+            en = jax.lax.ppermute(en, axis, perm)
+            eh, fh = _pair_energy_force(x, m, xn, mn, q, qn, s, sn,
+                                        e, en, boxj, rc)
+            etot = etot + eh
+            f = f + fh
+        return etot, f
+
+    def local(x, v, m, q, s, e, mass, key, k_steps):
+        x, v, m, q, s, e, mass = (a[0] for a in (x, v, m, q, s, e, mass))
+        key = jax.random.fold_in(key[0], jax.lax.axis_index(axis))
+        inv_mass = jnp.where(mass > 0, 1.0 / jnp.maximum(mass, 1e-6), 0.0)
+        dm = (m > 0).astype(jnp.float32)[:, None]
+        sigma = jnp.sqrt(KB * temp_target * ACCEL_FACTOR
+                         * inv_mass * (1.0 - c1 * c1))[:, None]
+
+        def body(carry, _):
+            x, v, f, key = carry
+            a = f * (ACCEL_FACTOR * inv_mass)[:, None] * dm
+            v1 = v + dt * a                                  # B
+            x1 = x + 0.5 * dt * v1 * dm                      # A
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, v.shape, v.dtype) * sigma
+            v2 = (c1 * v1 + noise) * dm                      # O
+            x2 = x1 + 0.5 * dt * v2 * dm                     # A
+            _e, f2 = slab_force(x2, m, q, s, e)
+            return (x2, v2, f2, key), None
+
+        _e0, f0 = slab_force(x, m, q, s, e)
+        (x, v, f, key), _ = jax.lax.scan(
+            body, (x, v, f0, key), None, length=k_steps)
+        ke = 0.5 * jnp.sum(mass * dm[:, 0]
+                           * jnp.sum(v * v, axis=-1)) / ACCEL_FACTOR
+        ke = jax.lax.psum(ke, axis)
+        return x[None], v[None], ke[None]
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), None),
+        out_specs=(P(axis), P(axis), P(axis)))
+
+
+def spatial_md_run(x, v, masses, q, sig, eps, box, mesh: Mesh, axis: str,
+                   rc: float, dt: float, n_steps: int,
+                   rebuild_every: int = 10, gamma: float = 2.0,
+                   temp_target: float = 300.0, seed: int = 0):
+    """Run ONE simulation spatially decomposed over the mesh.
+
+    Host re-partitions atoms into x-slabs every `rebuild_every` steps
+    (the FastSim rebuild-cadence analog: atoms may drift between slabs
+    only within the skin the slab width affords — slab width must exceed
+    rc by the expected drift). Returns (x, v, ke_history) in the original
+    atom order."""
+    n_dev = mesh.shape[axis]
+    x = np.asarray(x, np.float32)
+    v = np.asarray(v, np.float32)
+    step_fn = jax.jit(make_spatial_step_fn(mesh, axis, box, rc, dt,
+                                           gamma, temp_target),
+                      static_argnums=(8,))
+    key = jax.random.PRNGKey(seed)
+    kes = []
+    done = 0
+    while done < n_steps:
+        k = min(rebuild_every, n_steps - done)
+        xs, m_sh, owner = partition_slabs(x, box, n_dev)
+        cap = xs.shape[1]
+
+        def grp(a, width=None):
+            shape = (n_dev, cap) if width is None else (n_dev, cap, width)
+            out = np.zeros(shape, np.float32)
+            for dd in range(n_dev):
+                ids = owner[dd][owner[dd] >= 0]
+                out[dd, :len(ids)] = a[ids]
+            return jnp.asarray(out)
+
+        key, sub = jax.random.split(key)
+        keys = jnp.tile(sub[None], (n_dev, 1))
+        with mesh:
+            xs2, vs2, ke = step_fn(
+                grp(x, 3), grp(v, 3), jnp.asarray(m_sh), grp(q),
+                grp(sig), grp(eps), grp(masses), keys, k)
+        xs2 = np.asarray(xs2)
+        vs2 = np.asarray(vs2)
+        for dd in range(n_dev):
+            ids = owner[dd][owner[dd] >= 0]
+            x[ids] = xs2[dd, :len(ids)]
+            v[ids] = vs2[dd, :len(ids)]
+        kes.append(float(np.asarray(ke)[0]))
+        done += k
+    return x, v, np.asarray(kes)
