@@ -59,13 +59,14 @@ def partition_slabs(x, box, n_dev: int, cap: int = None):
     return xs, mask, owner
 
 
-def _pair_energy_force(xi, mi, xj, mj, qi, qj, si, sj, ei, ej, box, rc):
-    """Masked dense LJ + real-space-Ewald-free Coulomb between an i block
-    [ci,3] and a j block [cj,3]; returns (E_half_counted, F_i [ci,3]).
+def _pair_energy_force(xi, mi, xj, mj, qi, qj, si, sj, ei, ej, box, rc,
+                       beta=None):
+    """Masked dense LJ + Coulomb between an i block [ci,3] and a j block
+    [cj,3]; returns (E_half_counted, F_i [ci,3]).
 
-    Plain cutoff Coulomb here: the prototype validates the DECOMPOSITION
-    (ownership + halo + collectives); the production force path swaps in
-    the colpair kernel + PME per shard."""
+    beta=None: plain cutoff Coulomb (decomposition prototype).
+    beta=float: erfc(beta r)/r direct-space Ewald — pairs with the
+    replicated-grid PME reciprocal in make_spatial_force_fn."""
     d = xi[:, None, :] - xj[None, :, :]
     d = d - box * jnp.round(d / box)
     r2 = jnp.sum(d * d, axis=-1)
@@ -79,8 +80,17 @@ def _pair_energy_force(xi, mi, xj, mj, qi, qj, si, sj, ei, ej, box, rc):
     s6 = s2 * s2 * s2
     e_lj = eps4 * (s6 * s6 - s6)
     kqq = qi[:, None] * qj[None, :]
-    e_c = kqq * inv_r
-    de = eps4 * (3.0 * s6 - 6.0 * s6 * s6) * inv_r2 - 0.5 * kqq * inv_r2 * inv_r
+    if beta is None:
+        e_c = kqq * inv_r
+        dc = -0.5 * kqq * inv_r2 * inv_r
+    else:
+        r = r2s * inv_r
+        erfc_v = jax.scipy.special.erfc(beta * r)
+        e_c = kqq * erfc_v * inv_r
+        dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
+                              + beta / jnp.sqrt(jnp.pi)
+                              * jnp.exp(-(beta * r) ** 2))
+    de = eps4 * (3.0 * s6 - 6.0 * s6 * s6) * inv_r2 + dc
     coeff = jnp.where(ok, de, 0.0)
     f_i = -jnp.sum((2.0 * coeff)[:, :, None] * d, axis=1)
     e = 0.5 * jnp.sum(jnp.where(ok, e_lj + e_c, 0.0))
@@ -88,13 +98,30 @@ def _pair_energy_force(xi, mi, xj, mj, qi, qj, si, sj, ei, ej, box, rc):
 
 
 def make_spatial_force_fn(mesh: Mesh, axis: str, box, rc: float,
-                          halo_depth: int = 1):
+                          halo_depth: int = 1, beta=None, pme_grid=None):
     """Build force(x_sh, mask, q_sh, sig_sh, eps_sh) -> (E_total, F_sh)
     sharded over `axis`: each device computes forces on ITS atoms from its
     own slab plus ppermute-exchanged neighbor slabs (halo_depth slabs per
-    side; slab width must be >= rc / halo_depth)."""
+    side; slab width must be >= rc / halo_depth).
+
+    With beta + pme_grid set, electrostatics are FULL smooth-PME Ewald:
+    erfc(beta r) direct within the halo reach, plus the reciprocal sum on
+    a replicated grid — every device all_gathers positions/charges (tiny:
+    a 64^3 mesh + 25k atoms fit trivially per chip; SURVEY §5 long-axis
+    note) and evaluates the identical recip energy; recip forces on the
+    LOCAL atoms come from autodiff through the all_gather (its transpose
+    is a psum_scatter, so the backward pass stays sharded). q is then in
+    plain electron units and the Ewald self-energy is included. No
+    intramolecular exclusions yet: atomic fluids (argon/ionic gas)."""
     n_dev = mesh.shape[axis]
     boxj = jnp.asarray(box, jnp.float32)
+    if pme_grid is not None:
+        assert beta is not None, "pme_grid requires beta"
+        from ..constants import COULOMB_CONST
+        from ..ops.pme2 import make_pme2_recip_fn
+        recip_fn = make_pme2_recip_fn(tuple(pme_grid), float(beta))
+        sqrt_kc = float(np.sqrt(COULOMB_CONST))
+        self_c = float(beta / np.sqrt(np.pi) * COULOMB_CONST)
 
     def local(x, m, q, s, e):
         # x: [1, cap, 3] block of this device
@@ -103,10 +130,11 @@ def make_spatial_force_fn(mesh: Mesh, axis: str, box, rc: float,
         q = q[0]
         s = s[0]
         e = e[0]
-        etot, f = _pair_energy_force(x, m, x, m, q, q, s, s, e, e,
-                                     boxj, rc)
+        qd = q * sqrt_kc if pme_grid is not None else q
+        etot, f = _pair_energy_force(x, m, x, m, qd, qd, s, s, e, e,
+                                     boxj, rc, beta=beta)
         for side in (+1, -1):
-            xn, mn, qn, sn, en = x, m, q, s, e
+            xn, mn, qn, sn, en = x, m, qd, s, e
             for _ in range(halo_depth):
                 perm = [(i, (i + side) % n_dev) for i in range(n_dev)]
                 xn = jax.lax.ppermute(xn, axis, perm)
@@ -114,21 +142,41 @@ def make_spatial_force_fn(mesh: Mesh, axis: str, box, rc: float,
                 qn = jax.lax.ppermute(qn, axis, perm)
                 sn = jax.lax.ppermute(sn, axis, perm)
                 en = jax.lax.ppermute(en, axis, perm)
-                eh, fh = _pair_energy_force(x, m, xn, mn, q, qn, s, sn,
-                                            e, en, boxj, rc)
+                eh, fh = _pair_energy_force(x, m, xn, mn, qd, qn, s, sn,
+                                            e, en, boxj, rc, beta=beta)
                 # each cross-slab pair is seen by BOTH owners, each
                 # half-counted -> summing over shards counts it once
                 etot = etot + eh
                 f = f + fh
         etot = jax.lax.psum(etot, axis)
+        if pme_grid is not None:
+            q_real = q * (m > 0)
+
+            def e_rec(xl):
+                xa = jax.lax.all_gather(xl, axis).reshape(-1, 3)
+                qa = jax.lax.all_gather(q_real, axis).reshape(-1)
+                return recip_fn(xa, qa, boxj)
+
+            er, fr_neg = jax.value_and_grad(e_rec)(x)
+            e_self = jax.lax.psum(-self_c * jnp.sum(q_real * q_real),
+                                  axis)
+            etot = etot + er + e_self      # er is replicated, psum'd once
+            # all_gather's transpose is a psum_scatter: every device holds
+            # the identical replicated e_rec, so the pulled-back cotangent
+            # arrives n_dev times — normalize to the true dE/dx_local
+            f = f - fr_neg / n_dev
         return etot[None], f[None]
 
     # returns (E [n_dev] — every shard carries the same psum'd total —
     # and F [n_dev, cap, 3] sharded like the input)
+    # check_vma=False: the replicated-grid recip accumulates a scan carry
+    # whose varying-manual-axes typing the checker can't unify with the
+    # invariant zero init (the math is correct: every shard computes the
+    # identical replicated recip energy).
     return shard_map(local, mesh=mesh,
                      in_specs=(P(axis), P(axis), P(axis), P(axis),
                                P(axis)),
-                     out_specs=(P(axis), P(axis)))
+                     out_specs=(P(axis), P(axis)), check_vma=False)
 
 
 def spatial_reference_force(x, mask, q, sig, eps, box, rc):

@@ -133,3 +133,79 @@ def test_spatial_md_run_one_sim_over_mesh():
     before, after = owner_map(slab_before), owner_map(slab_after)
     assert any(before[a] != after[a] for a in before), \
         "no atom migrated between slabs in 60 steps"
+
+
+def test_spatial_pme_matches_single_device():
+    """Full-PME spatial force: erfc direct over halos + replicated-grid
+    reciprocal (autodiff through all_gather) must match a single-device
+    evaluation of the identical Ewald sum."""
+    from molchanica_tpu.constants import COULOMB_CONST
+    from molchanica_tpu.ops.pme2 import make_pme2_recip_fn
+    from molchanica_tpu.parallel.spatial import (_pair_energy_force,
+                                                 make_spatial_force_fn,
+                                                 partition_slabs)
+
+    rng = np.random.default_rng(11)
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    box = np.array([48.0, 16.0, 16.0])
+    rc = 5.5
+    beta = 0.45
+    # ionic lattice with jitter (no deep clashes: clash-scale forces
+    # amplify f32 reduction-order noise and would swamp the parity gate)
+    gx, gy, gz = np.meshgrid(np.linspace(1.5, box[0] - 2, 13),
+                             np.linspace(1.5, box[1] - 2, 4),
+                             np.linspace(1.5, box[2] - 2, 4),
+                             indexing="ij")
+    x = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    x = x + rng.uniform(-0.4, 0.4, x.shape)
+    n = len(x)
+    q = np.where(np.arange(n) % 2 == 0, 0.5, -0.5).astype(np.float32)
+    sig = np.full(n, 1.6, np.float32)
+    eps = np.full(n, 0.6, np.float32)
+
+    xs, mask, owner = partition_slabs(x, box, n_dev)
+    cap = xs.shape[1]
+
+    def grp(a):
+        out = np.zeros((n_dev, cap), np.float32)
+        for d in range(n_dev):
+            ids = owner[d][owner[d] >= 0]
+            out[d, :len(ids)] = a[ids]
+        return jnp.asarray(out)
+
+    grid = (16, 16, 16)
+    fn = jax.jit(make_spatial_force_fn(mesh, "x", box, rc, beta=beta,
+                                       pme_grid=grid))
+    e_sh, f_sh = fn(jnp.asarray(xs), jnp.asarray(mask), grp(q), grp(sig),
+                    grp(eps))
+    e_sh = np.asarray(e_sh)
+    assert np.allclose(e_sh, e_sh[0], rtol=1e-6)
+
+    # single-device reference: same erfc direct + same recip + self
+    x_flat = jnp.asarray(np.asarray(xs).reshape(-1, 3))
+    m_flat = jnp.asarray(np.asarray(mask).reshape(-1))
+    qf = grp(q).reshape(-1)
+    qk = qf * np.sqrt(COULOMB_CONST)
+    sf = grp(sig).reshape(-1)
+    ef = grp(eps).reshape(-1)
+    e_dir, f_dir = _pair_energy_force(
+        x_flat, m_flat, x_flat, m_flat, qk, qk, sf, sf, ef, ef,
+        jnp.asarray(box, jnp.float32), rc, beta=beta)
+    recip = make_pme2_recip_fn(grid, beta)
+    q_real = qf * (m_flat > 0)
+    e_rec, fr_neg = jax.value_and_grad(
+        lambda xx: recip(xx, q_real, jnp.asarray(box, jnp.float32)))(
+        x_flat)
+    e_self = -beta / np.sqrt(np.pi) * COULOMB_CONST \
+        * float(jnp.sum(q_real * q_real))
+    e_ref = float(e_dir) + float(e_rec) + e_self
+    f_ref = np.asarray(f_dir) - np.asarray(fr_neg)
+
+    assert abs(float(e_sh[0]) - e_ref) / abs(e_ref) < 1e-5, \
+        (float(e_sh[0]), e_ref)
+    keep = owner.reshape(-1) >= 0
+    f_sh_flat = np.asarray(f_sh).reshape(-1, 3)
+    scale = np.abs(f_ref).max()
+    d = np.abs(f_sh_flat[keep] - f_ref[keep]).max()
+    assert d / scale < 2e-5, f"PME spatial force mismatch {d/scale:.2e}"
