@@ -188,11 +188,15 @@ def spatial_reference_force(x, mask, q, sig, eps, box, rc):
 
 
 def make_spatial_step_fn(mesh: Mesh, axis: str, box, rc: float,
-                         dt: float, gamma: float, temp_target: float):
+                         dt: float, gamma: float, temp_target: float,
+                         beta=None, pme_grid=None):
     """Sharded Langevin-middle MD chunk: k steps of ONE simulation
     decomposed over the mesh, halo forces exchanged via ppermute every
     step. Returns chunk(x_sh, v_sh, m_sh, q, s, e, mass, key, k) ->
     (x_sh, v_sh, ke_total).
+
+    beta + pme_grid enable full smooth-PME electrostatics per step (see
+    make_spatial_force_fn): q is then in plain electron units.
 
     Per-device RNG: the caller's key is folded with the shard index, so
     the noise stream is independent per slab and reproducible."""
@@ -201,22 +205,40 @@ def make_spatial_step_fn(mesh: Mesh, axis: str, box, rc: float,
     n_dev = mesh.shape[axis]
     boxj = jnp.asarray(box, jnp.float32)
     c1 = jnp.exp(-gamma * dt)
+    if pme_grid is not None:
+        assert beta is not None, "pme_grid requires beta"
+        from ..constants import COULOMB_CONST
+        from ..ops.pme2 import make_pme2_recip_fn
+        recip_fn = make_pme2_recip_fn(tuple(pme_grid), float(beta))
+        sqrt_kc = float(np.sqrt(COULOMB_CONST))
 
     def slab_force(x, m, q, s, e):
-        etot, f = _pair_energy_force(x, m, x, m, q, q, s, s, e, e,
-                                     boxj, rc)
+        qd = q * sqrt_kc if pme_grid is not None else q
+        etot, f = _pair_energy_force(x, m, x, m, qd, qd, s, s, e, e,
+                                     boxj, rc, beta=beta)
         for side in (+1, -1):
-            xn, mn, qn, sn, en = x, m, q, s, e
+            xn, mn, qn, sn, en = x, m, qd, s, e
             perm = [(i, (i + side) % n_dev) for i in range(n_dev)]
             xn = jax.lax.ppermute(xn, axis, perm)
             mn = jax.lax.ppermute(mn, axis, perm)
             qn = jax.lax.ppermute(qn, axis, perm)
             sn = jax.lax.ppermute(sn, axis, perm)
             en = jax.lax.ppermute(en, axis, perm)
-            eh, fh = _pair_energy_force(x, m, xn, mn, q, qn, s, sn,
-                                        e, en, boxj, rc)
+            eh, fh = _pair_energy_force(x, m, xn, mn, qd, qn, s, sn,
+                                        e, en, boxj, rc, beta=beta)
             etot = etot + eh
             f = f + fh
+        if pme_grid is not None:
+            q_real = q * (m > 0)
+
+            def e_rec(xl):
+                xa = jax.lax.all_gather(xl, axis).reshape(-1, 3)
+                qa = jax.lax.all_gather(q_real, axis).reshape(-1)
+                return recip_fn(xa, qa, boxj)
+
+            er, fr_neg = jax.value_and_grad(e_rec)(x)
+            etot = etot + er
+            f = f - fr_neg / n_dev   # see make_spatial_force_fn note
         return etot, f
 
     def local(x, v, m, q, s, e, mass, key, k_steps):
@@ -251,13 +273,14 @@ def make_spatial_step_fn(mesh: Mesh, axis: str, box, rc: float,
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(axis), P(axis), None),
-        out_specs=(P(axis), P(axis), P(axis)))
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
 
 
 def spatial_md_run(x, v, masses, q, sig, eps, box, mesh: Mesh, axis: str,
                    rc: float, dt: float, n_steps: int,
                    rebuild_every: int = 10, gamma: float = 2.0,
-                   temp_target: float = 300.0, seed: int = 0):
+                   temp_target: float = 300.0, seed: int = 0,
+                   beta=None, pme_grid=None):
     """Run ONE simulation spatially decomposed over the mesh.
 
     Host re-partitions atoms into x-slabs every `rebuild_every` steps
@@ -269,7 +292,8 @@ def spatial_md_run(x, v, masses, q, sig, eps, box, mesh: Mesh, axis: str,
     x = np.asarray(x, np.float32)
     v = np.asarray(v, np.float32)
     step_fn = jax.jit(make_spatial_step_fn(mesh, axis, box, rc, dt,
-                                           gamma, temp_target),
+                                           gamma, temp_target,
+                                           beta=beta, pme_grid=pme_grid),
                       static_argnums=(8,))
     key = jax.random.PRNGKey(seed)
     kes = []

@@ -209,3 +209,35 @@ def test_spatial_pme_matches_single_device():
     scale = np.abs(f_ref).max()
     d = np.abs(f_sh_flat[keep] - f_ref[keep]).max()
     assert d / scale < 2e-5, f"PME spatial force mismatch {d/scale:.2e}"
+
+
+def test_spatial_md_run_with_pme():
+    """Sharded MD with full PME electrostatics: a jittered ionic lattice
+    stays bound and thermal over a short NVT run."""
+    from molchanica_tpu.constants import KB
+    from molchanica_tpu.parallel.spatial import spatial_md_run
+
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    rng = np.random.default_rng(7)
+    box = np.array([48.0, 14.0, 14.0])
+    gx, gy, gz = np.meshgrid(np.linspace(2, box[0] - 2, 12),
+                             np.linspace(2, box[1] - 2, 3),
+                             np.linspace(2, box[2] - 2, 3), indexing="ij")
+    x0 = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    x0 = x0 + rng.uniform(-0.2, 0.2, x0.shape)
+    n = len(x0)
+    q = np.where(np.arange(n) % 2 == 0, 0.4, -0.4).astype(np.float32)
+    masses = np.full(n, 30.0, np.float32)
+    sig = np.full(n, 1.55, np.float32)
+    eps = np.full(n, 0.7, np.float32)
+    v0 = np.zeros((n, 3), np.float32)
+
+    x1, v1, kes = spatial_md_run(
+        x0.copy(), v0, masses, q, sig, eps, box, mesh, "x",
+        rc=5.5, dt=0.002, n_steps=40, rebuild_every=10,
+        gamma=2.0, temp_target=150.0, seed=2,
+        beta=0.45, pme_grid=(16, 16, 16))
+    assert np.isfinite(x1).all() and np.isfinite(v1).all()
+    t_fin = 2.0 * kes[-1] / (3.0 * n * KB)
+    assert 10.0 < t_fin < 800.0, t_fin
