@@ -72,6 +72,30 @@ def scaling_pressure_bar(e_scalar_fn, x, box, v, masses, dof_mask, couple,
     return p * PRESSURE_KCAL_PER_A3_TO_BAR
 
 
+def scaling_pressure_bar_fd(e_scalar_fn, x, box, v, masses, dof_mask,
+                            couple, mol_id, n_mol, h=2e-3):
+    """Finite-difference variant of scaling_pressure_bar for energy paths
+    WITHOUT a VJP (the Pallas colpair kernel): central difference on the
+    molecular scaling coordinate, dE/ds ~ [E(1+h) - E(1-h)] / 2h.
+
+    h=2e-3 translates molecules by <= h*L/2 (~0.06 A at 60 A boxes) — far
+    inside the neighbor skin, so stale window tables stay valid for both
+    evaluations. f32 energy resolution puts ~10-50 bar of noise on a
+    single estimate at 25k sites; the Berendsen coupling (tau >> chunk)
+    averages it out."""
+    vol = jnp.prod(box)
+    com, msum = _mol_com(x, masses, dof_mask, mol_id, n_mol)
+    vcom, _ = _mol_com(v, masses, dof_mask, mol_id, n_mol)
+    ke = 0.5 * jnp.sum(msum * jnp.sum(vcom * vcom, axis=-1)) \
+        / ACCEL_FACTOR
+    ca = com[mol_id]
+    ep = e_scalar_fn(x + h * ca, box * (1.0 + h), couple)
+    em = e_scalar_fn(x - h * ca, box * (1.0 - h), couple)
+    dE_ds = (ep - em) / (2.0 * h)
+    p = (2.0 * ke - dE_ds) / (3.0 * vol)
+    return p * PRESSURE_KCAL_PER_A3_TO_BAR
+
+
 def instantaneous_pressure_bar(x, box, v, masses, dof_mask, forces):
     """Legacy atom-wise estimate sum(r . F): WRONG under PBC (kept only for
     diagnostics; see module docstring). Do not use for coupling."""

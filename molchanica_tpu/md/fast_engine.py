@@ -152,6 +152,7 @@ class FastSim:
             f"box {box_np} too small for FastSim at cutoff {rc}"
         self.plan = plan_columns(box_np, rc, self.beta, top.n_atoms_real,
                                  n_base, skin=skin, r_blob=r_blob)
+        self._box0 = box_np.copy()       # plan reference box (NPT guard)
         # Skin sizing: water-H pair coverage no longer depends on libration
         # (H keys ride the O; r_blob covers the rigid offset at all times),
         # but SOLUTE hydrogens still bin by their own position, so the skin
@@ -980,6 +981,48 @@ class FastSim:
         return fn
 
     # ------------------------------------------------------------------
+    def _get_baro_fn(self, dt_eff: float):
+        """Chunk-boundary Berendsen NPT on the fast path: exact molecular
+        (COM-scaling) virial pressure with the dE/ds central difference
+        through the Pallas energy (no VJP needed; see
+        barostat.scaling_pressure_bar_fd), then a molecular position +
+        box scale. Constrained geometries stay exactly on the manifold
+        (molecules are translated, never stretched)."""
+        key = ("baro", dt_eff)
+        if key in self._chunk_cache:
+            return self._chunk_cache[key]
+        from .barostat import (_mol_com, berendsen_mu,
+                               scaling_pressure_bar_fd)
+
+        baro = self.cfg.barostat_cfg
+        n_mol = int(self.top.n_mol)
+        mol_b = jnp.asarray(np.concatenate(
+            [np.asarray(self.top.mol_id), [n_mol]]).astype(np.int32))
+        force_e = self._make_force_fn(None, want_energy=True)
+
+        def fn(st: FastState):
+            mol_of = mol_b[jnp.clip(st.perm, 0, self.n_base)]
+
+            def e_scalar(x_, b_, _c):
+                return force_e(x_, st.replace(box=b_))[1][0]
+
+            p = scaling_pressure_bar_fd(
+                e_scalar, st.x, st.box, st.v, st.masses, st.dof,
+                st.couple, mol_of, n_mol + 1)
+            # keep the state strictly f32 (under x64 test configs the
+            # scalar energy path may accumulate in f64)
+            mu = berendsen_mu(p, baro.pressure_target, baro.tau,
+                              dt_eff).astype(st.x.dtype)
+            com, _ = _mol_com(st.x, st.masses, st.dof, mol_of, n_mol + 1)
+            x_new = st.x + (mu - 1.0) * com[mol_of]
+            return st.replace(x=x_new,
+                              box=(st.box * mu).astype(st.box.dtype)), p
+
+        jfn = jax.jit(fn)
+        self._chunk_cache[key] = jfn
+        return jfn
+
+    # ------------------------------------------------------------------
     def minimize(self, n_iters: int = 400, max_disp: float = 0.02):
         """Clash relaxation: capped-displacement steepest descent with the
         constraint projection after every move (the FastSim analog of the
@@ -1032,6 +1075,18 @@ class FastSim:
             self._last_terms = terms
             if record_energy and es is not None:
                 energies.append(es)
+            if self.cfg.barostat_cfg is not None:
+                self.state, self._last_pressure = self._get_baro_fn(
+                    float(dt_ps) * todo)(self.state)
+                # windows/columns were planned for the initial box; a few
+                # percent of isotropic drift stays within the skin, beyond
+                # that the engine must be rebuilt around the new box
+                ratio = float(self.state.box[0]) / self._box0[0]
+                if abs(ratio - 1.0) > 0.03:
+                    raise RuntimeError(
+                        f"NPT box drifted {100*(ratio-1):+.1f}% from the "
+                        "planned box — rebuild FastSim at the current box "
+                        "(column plan replan required)")
             done += todo
         ovf = int(self.state.overflow)   # sync point (one fetch per call)
         self._wall_time += time.perf_counter() - t0
