@@ -318,8 +318,14 @@ class FastSim:
         else:
             from ..ops.pme3 import default_grid6, make_pme3_recip_fn
             grid = cfg.pme_grid or default_grid6(box_np, self.beta)
+            # custom_grad: analytic force pass instead of reverse-mode
+            # through the spread loop (which stores every per-chunk panel —
+            # measured 3.3 ms of 4.5 ms at 25k sites). Box cotangent is
+            # zero under custom_grad; FastSim never differentiates the box
+            # (NPT pressure uses finite differences, _get_baro_fn).
             self._recip = make_pme3_recip_fn(grid, self.beta, order=6,
-                                             dtype=jnp.float32)
+                                             dtype=jnp.float32,
+                                             custom_grad=True)
 
         # kernel instances
         has_alch = bool(np.asarray(top.couple_mask).sum() > 0)

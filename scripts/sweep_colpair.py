@@ -133,6 +133,30 @@ def main():
     print(f"[sweep] kernel {ms:.3f} ms  ({gsl:.1f} G slots/s)",
           file=sys.stderr)
 
+    # A/B: force-only and MXU-contraction variants (in-process: the MXU
+    # flag is read at make_colpair_direct_fn build time)
+    for label, we, mxu in (("force_only", False, "0"),
+                           ("energy_mxu", True, "1"),
+                           ("force_only_mxu", False, "1")):
+        os.environ["MOLCHANICA_COLPAIR_MXU"] = mxu
+        d2 = make_colpair_direct_fn(plan, has_alch=False, want_energy=we,
+                                    triangular=tri)
+
+        def kern2(x, d2=d2):
+            r = jnp.concatenate([x, rows[:, 3:]], axis=1)
+            f, elj, ec = d2(r, r.T, wl, nw, boxj,
+                            jnp.asarray(1.0, jnp.float32))
+            return f
+
+        # correctness vs baseline before timing
+        f_ref = np.asarray(kern(rows[:, :3]))
+        f_ab = np.asarray(kern2(rows[:, :3]))
+        rel = np.abs(f_ab - f_ref).max() / max(np.abs(f_ref).max(), 1e-9)
+        ms2 = scan_time(kern2, rows[:, :3])
+        print(f"[sweep] {label:16s} {ms2:.3f} ms  (rel vs base {rel:.1e})",
+              file=sys.stderr)
+    os.environ["MOLCHANICA_COLPAIR_MXU"] = "0"
+
     def sort_fn(x):
         p, k, cs, o = sort(x, boxj, jnp.asarray(props[:, 4]),
                            jnp.asarray(owner, jnp.int32))
