@@ -637,7 +637,10 @@ class FastSim:
             sh = props[:, 1]
             se = props[:, 2]
             cm = props[:, 3]
-            q_plain = q_kc / np.sqrt(COULOMB_CONST)
+            # np.float32: a bare np.sqrt() scalar is strongly-typed f64 and
+            # would promote q_plain (and everything downstream, incl. the
+            # PME cotangents) to f64 under jax_enable_x64
+            q_plain = q_kc / np.float32(np.sqrt(COULOMB_CONST))
 
             def e_rest_fn(xv):
                 eb = bond_energy(xv, box, st.bond_idx, self.top.bond_k,

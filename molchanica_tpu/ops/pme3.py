@@ -158,7 +158,14 @@ def make_pme3_recip_fn(grid_shape, beta, order: int = 6,
     products in [0, 1]; bf16's ~4e-3 relative rounding on them perturbs the
     reciprocal energy/forces by ~1e-4 relative of the recip term — below the
     PME discretization error itself at this grid — while halving the panel
-    traffic and using the MXU's native input width."""
+    traffic and using the MXU's native input width.
+
+    custom_grad=True installs an analytic VJP for x and q_eff (recomputes
+    the spreading panels in the backward pass instead of storing them as
+    residuals). CONTRACT: the box cotangent is ZERO under custom_grad —
+    never differentiate the box through this path (the barostats use
+    finite differences; use custom_grad=False for any analytic-virial
+    experiment)."""
     Kx, Ky, Kz = grid_shape
     b2 = (_bspline_b2_n(Kx, order)[:, None, None]
           * _bspline_b2_n(Ky, order)[None, :, None]
@@ -295,15 +302,20 @@ def make_pme3_recip_fn(grid_shape, beta, order: int = 6,
             wy, dwy = _axis_weights_d(us[:, 1], Ky, order)
             wz, dwz = _axis_weights_d(us[:, 2], Kz, order)
             P = (wy[:, :, None] * wz[:, None, :]).reshape(chunk, Ky * Kz)
+            phi_p = phi_flat
             if panel_dtype is not None:
+                # mirror the fwd spread: cast BOTH dot operands so the bwd
+                # runs the same mixed-precision model as the fwd
                 P = P.astype(panel_dtype)
+                phi_p = phi_flat.astype(panel_dtype)
             # Gx[a, kx] = sum_yz P[a, yz] phi[kx, yz]
             Gx = jax.lax.dot_general(
-                P, phi_flat, (((1,), (1,)), ((), ())),
+                P, phi_p, (((1,), (1,)), ((), ())),
                 preferred_element_type=acc_dtype)      # [chunk, Kx]
             # T1[a, ky, kz] = sum_kx wx[a, kx] phi[kx, ky, kz]
+            wx_p = wx.astype(panel_dtype) if panel_dtype is not None else wx
             T1 = jax.lax.dot_general(
-                wx, phi_flat, (((1,), (0,)), ((), ())),
+                wx_p, phi_p, (((1,), (0,)), ((), ())),
                 preferred_element_type=acc_dtype
             ).reshape(chunk, Ky, Kz)
             Ty = jnp.sum(T1 * wz[:, None, :], axis=2)          # [chunk, Ky]
@@ -325,8 +337,12 @@ def make_pme3_recip_fn(grid_shape, beta, order: int = 6,
                                                        q_eff.dtype)))
         qtot = jnp.sum(q_eff)
         dq_bg = -COULOMB_CONST * jnp.pi / (beta * beta * vol) * qtot
-        x_bar = e_bar * gx_all[:n]
-        q_bar = e_bar * (gq_all[:n] + dq_bg)
+        # Cotangents must carry the PRIMAL dtypes: under jax_enable_x64 the
+        # incoming e_bar can be f64 (e.g. an f64 energy accumulation on top
+        # of f32 coordinates) and the products would promote, tripping
+        # custom_vjp's aval check. Cast back explicitly.
+        x_bar = (e_bar * gx_all[:n]).astype(x.dtype)
+        q_bar = (e_bar * (gq_all[:n] + dq_bg)).astype(q_eff.dtype)
         return x_bar, q_bar, jnp.zeros_like(box)
 
     recip.defvjp(recip_fwd, recip_bwd)

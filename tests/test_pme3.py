@@ -84,6 +84,73 @@ def test_pme3_force_matches_numeric_gradient():
                                    atol=1e-6)
 
 
+def _grad_parity_case(dtype, chunk, rtol):
+    """value_and_grad parity of custom_grad=True vs the autodiff path.
+
+    Non-neutral charge set (covers the dq_bg background term) and n not
+    divisible by chunk (covers the pad slots in the bwd fori_loop)."""
+    rng = np.random.default_rng(23)
+    n = 37                                     # not divisible by chunk=16
+    box = np.array([11.0, 13.0, 12.0])
+    pos = rng.uniform(0, 1, (n, 3)) * box
+    q = rng.normal(size=n) + 0.05              # net charge != 0
+    beta = ewald_beta_for(4.5, 1e-5)
+    grid = (16, 18, 16)
+    kw = dict(order=6, dtype=dtype, chunk=chunk)
+    r_auto = make_pme3_recip_fn(grid, beta, custom_grad=False, **kw)
+    r_cust = make_pme3_recip_fn(grid, beta, custom_grad=True, **kw)
+    x = jnp.asarray(pos, dtype)
+    qq = jnp.asarray(q, dtype)
+    b = jnp.asarray(box, dtype)
+
+    def both(recip):
+        (e, (gx, gq)) = jax.value_and_grad(recip, argnums=(0, 1))(x, qq, b)
+        return np.asarray(e), np.asarray(gx), np.asarray(gq)
+
+    ea, gxa, gqa = both(r_auto)
+    ec, gxc, gqc = both(r_cust)
+    assert gxc.dtype == np.dtype(dtype) and gqc.dtype == np.dtype(dtype)
+    np.testing.assert_allclose(ec, ea, rtol=rtol)
+    scale = max(np.abs(gxa).max(), 1e-8)
+    np.testing.assert_allclose(gxc, gxa, rtol=rtol, atol=rtol * scale)
+    qscale = max(np.abs(gqa).max(), 1e-8)
+    np.testing.assert_allclose(gqc, gqa, rtol=rtol, atol=rtol * qscale)
+
+
+def test_pme3_custom_grad_parity_f64():
+    _grad_parity_case(jnp.float64, chunk=16, rtol=1e-10)
+
+
+def test_pme3_custom_grad_parity_f32():
+    _grad_parity_case(jnp.float32, chunk=16, rtol=2e-4)
+
+
+def test_pme3_custom_grad_f32_primal_under_x64():
+    """Regression for the round-3 RED suite: an f64 cotangent (x64 energy
+    accumulation on top of f32 coordinates) must not trip custom_vjp's
+    primal-dtype check (ops/pme3.py recip_bwd casts back)."""
+    rng = np.random.default_rng(5)
+    n = 24
+    box = np.array([10.0, 10.0, 10.0])
+    pos = rng.uniform(0, 1, (n, 3)) * box
+    q = rng.normal(size=n).astype(np.float32)
+    beta = ewald_beta_for(4.0, 1e-5)
+    recip = make_pme3_recip_fn((16, 16, 16), beta, order=6,
+                               dtype=jnp.float32, chunk=16,
+                               custom_grad=True)
+    x = jnp.asarray(pos, jnp.float32)
+    qq = jnp.asarray(q)
+    b = jnp.asarray(box, jnp.float32)
+
+    def loss(x_, q_):
+        # f64 tail exactly like an x64-mode energy sum downstream
+        return recip(x_, q_, b).astype(jnp.float64) * 2.0
+
+    gx, gq = jax.grad(loss, argnums=(0, 1))(x, qq)
+    assert gx.dtype == jnp.float32 and gq.dtype == jnp.float32
+    assert np.isfinite(np.asarray(gx)).all()
+
+
 def test_pme3_matches_pme2_on_f32():
     """Production-precision cross-check against the v2 path."""
     from molchanica_tpu.ops.pme2 import make_pme2_recip_fn
