@@ -413,7 +413,8 @@ class FastSim:
             props=self._props_base[jnp.asarray(perm_init)],
             masses=self._masses_base[jnp.asarray(perm_init)],
             dof=self._dof_base[jnp.asarray(perm_init)],
-            wl=jnp.zeros((self.plan.n_clusters, W_MAX), jnp.int32),
+            wl=jnp.zeros((self.plan.n_clusters, 3 * self.plan.w_max),
+                         jnp.int32),
             nw=jnp.zeros((self.plan.n_clusters,), jnp.int32),
             bond_idx=top.bond_idx, angle_idx=top.angle_idx,
             dihedral_idx=top.dihedral_idx, excl_idx=self._excl_idx_base,

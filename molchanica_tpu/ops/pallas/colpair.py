@@ -50,7 +50,8 @@ from ...constants import COULOMB_CONST
 import os as _os
 ICL = int(_os.environ.get("MOLCHANICA_ICL", "64"))
 ZBITS = 14        # z quantization bits in the sort key
-W_MAX = 27        # window entries = slot RANGES (9 cols x 3 z-ranges)
+W_MAX = 27        # legacy default (rings=1: 9 cols x 3 z-ranges); the
+#                   live table width is plan.w_max (ring-dependent)
 _TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
 
 # r^2 floor (A^2): pairs closer than this (only possible mid-clash during
@@ -99,10 +100,13 @@ def _s2_clamped(s2_raw):
     return s2, gp
 
 
-def erfcx_cheb_coeffs(xmax: float, deg: int = 12) -> np.ndarray:
+def erfcx_cheb_coeffs(xmax: float, deg: int = None) -> np.ndarray:
     """Fit g(x) = erfc(x) * exp(x^2) on [0, xmax] as a plain polynomial
     (Chebyshev-node least squares). Horner-evaluated in the kernel.
-    abs err < ~1e-7 for deg 12, xmax ~ 3.5."""
+    rel err < ~1e-6 for deg 12, ~4e-5 for deg 8 (xmax ~ 3.5) — both far
+    below f32 force noise; deg is an env knob for on-chip sweeps."""
+    if deg is None:
+        deg = int(os.environ.get("MOLCHANICA_ERFCX_DEG", "12"))
     from numpy.polynomial import chebyshev as C
     from scipy.special import erfc
     nodes = np.cos(np.pi * (np.arange(1024) + 0.5) / 1024)
@@ -113,7 +117,8 @@ def erfcx_cheb_coeffs(xmax: float, deg: int = 12) -> np.ndarray:
     c = np.asarray(poly.coef, np.float64)
     fit = np.polynomial.polynomial.polyval(x, c)
     err = np.abs(fit - g) / np.abs(g)
-    assert err.max() < 5e-6, f"erfcx fit rel err {err.max():.2e}"
+    tol = 5e-6 if deg >= 12 else 1e-4
+    assert err.max() < tol, f"erfcx fit rel err {err.max():.2e}"
     return c
 
 
@@ -137,6 +142,16 @@ class ColPlan:
     # SELECTION therefore reaches rcw + r_blob (the kernel still masks by
     # the true rc^2).
     r_blob: float = 0.0
+    # window ring radius in columns: the (2*rings+1)^2 xy neighborhood,
+    # disc-culled. rings=1 (classic 3x3, columns >= reach wide) measured
+    # BEST on chip at 25k sites: narrower columns shrink the xy window but
+    # inflate each 64-atom cluster's z-span (span = ICL/(rho*col_area)),
+    # and pair slots went UP (86 -> 101 -> 129M for 1 / 2,1 / 2,2 rings).
+    # Kept as a validated option for other density/box regimes.
+    rings: int = 1
+    # offsets within the reach disc, as (dx, dy) pairs (static cull)
+    offsets: Tuple[Tuple[int, int], ...] = tuple(
+        (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
 
     @property
     def n_cols(self) -> int:
@@ -154,21 +169,62 @@ class ColPlan:
     def rc_wb(self) -> float:
         return self.cutoff + self.skin + self.r_blob
 
+    @property
+    def w_max(self) -> int:
+        """Window-entry table width: up to 3 z-ranges per in-disc column."""
+        return 3 * len(self.offsets)
+
 
 def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
                  n_base: int, skin: float = 1.2,
-                 r_blob: float = 0.0) -> ColPlan:
-    """Choose the column grid. Width >= rc+skin+2*r_blob: the selection
-    reach on j-O keys is rcwb = rc+skin+r_blob, and a blocked i-site can
-    sit up to r_blob OUTSIDE its block's column, so the 3x3 window covers
-    the cutoff sphere only if each column is at least rcwb + r_blob wide."""
+                 r_blob: float = 0.0, rings: int = None) -> ColPlan:
+    """Choose the column grid.
+
+    rings=1 (classic): width >= rc+skin+2*r_blob — the selection reach on
+    j-O keys is rcwb = rc+skin+r_blob, and a blocked i-site can sit up to
+    r_blob OUTSIDE its block's column, so the 3x3 window covers the cutoff
+    sphere only if each column is at least rcwb + r_blob wide.
+
+    rings=R>1: columns ~(rcwb+r_blob)/R wide with a (2R+1)^2 window whose
+    out-of-disc corners are culled statically. Same coverage guarantee:
+    a column at offset d is needed only if its gap distance
+    max(|d|-1,0)*w is below the reach. Falls back to R-1 when the box
+    cannot fit 2R+1 columns. Per-axis rings ("RX,RY") keep one axis wide
+    so a 64-atom cluster's z-span stays short (narrowing BOTH axes at
+    ICL=64 makes clusters ~16 A tall and slots go UP — measured).
+    Env default: MOLCHANICA_RINGS (e.g. "1", "2", or "2,1")."""
+    if rings is None:
+        rings = os.environ.get("MOLCHANICA_RINGS", "1")
+    if isinstance(rings, str):
+        parts = [int(v) for v in rings.split(",")]
+        rx, ry = (parts[0], parts[0]) if len(parts) == 1 else parts[:2]
+    elif isinstance(rings, tuple):
+        rx, ry = rings
+    else:
+        rx = ry = int(rings)
     box = np.asarray(box_extent, np.float64)
     rcw = cutoff + skin + r_blob
-    wmin = rcw + r_blob
-    nx = max(int(box[0] / wmin), 1)
-    ny = max(int(box[1] / wmin), 1)
+    reach = rcw + r_blob
+    while rx > 1 and int(box[0] / (reach / rx)) < 2 * rx + 1:
+        rx -= 1
+    while ry > 1 and int(box[1] / (reach / ry)) < 2 * ry + 1:
+        ry -= 1
+    nx = max(int(box[0] / (reach / rx)), 1)
+    ny = max(int(box[1] / (reach / ry)), 1)
     assert nx >= 3 and ny >= 3 and box[2] >= 2 * rcw - 1e-9, \
         f"box {box} too small for colpair at cutoff {cutoff}"
+    rings = max(rx, ry)
+    # static disc cull: offset (dx, dy) can contain an in-reach j only if
+    # the gap between the i column and the j column is below the reach
+    wx = float(box[0] / nx)
+    wy = float(box[1] / ny)
+    offs = []
+    for dx in range(-rx, rx + 1):
+        for dy in range(-ry, ry + 1):
+            gx = max(abs(dx) - 1, 0) * wx
+            gy = max(abs(dy) - 1, 0) * wy
+            if gx * gx + gy * gy < reach * reach:
+                offs.append((dx, dy))
     n_cols = nx * ny
     # capacity: real atoms + per-column pad-to-ICL (the padded total can
     # never exceed this by construction: sum(ceil(c_i/ICL)*ICL) <= n + ICL*n_cols)
@@ -178,11 +234,11 @@ def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
     # pairs are masked afterwards), so the fit domain is exactly [0, beta*rc].
     xmax = float(beta) * cutoff + 1e-3
     coeffs = tuple(float(v) for v in erfcx_cheb_coeffs(xmax))
-    return ColPlan(nx=nx, ny=ny, wx=float(box[0] / nx),
-                   wy=float(box[1] / ny), lz=float(box[2]),
+    return ColPlan(nx=nx, ny=ny, wx=wx, wy=wy, lz=float(box[2]),
                    n_sorted=n_sorted, n_base=n_base,
                    cutoff=float(cutoff), skin=float(skin), beta=float(beta),
-                   erfcx_coeffs=coeffs, r_blob=float(r_blob))
+                   erfcx_coeffs=coeffs, r_blob=float(r_blob),
+                   rings=int(rings), offsets=tuple(offs))
 
 
 # ---------------------------------------------------------------------------
@@ -362,13 +418,14 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
     n_cols = nx * ny
     NC = plan.n_clusters
     S = plan.n_sorted
+    W = plan.w_max // 3            # in-disc column offsets
     # selection reach: keys of blocked solvent sites are O-based, so the
     # window must include every j whose KEY position (its O) lies within
     # rcw + r_blob of the cluster; the kernel masks by the true rc^2.
     rcw = plan.rc_wb
     zmax = (1 << ZBITS) - 1
 
-    dxdy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    dxdy = list(plan.offsets)
 
     HB = 8                      # window-range z quantization (256 bins)
     SH = ZBITS - HB
@@ -382,23 +439,22 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
         mc = mask_s.reshape(NC, ICL) > 0
         any_valid = mc.any(axis=1)
         # Range construction via a per-(column, z-bin) cumulative slot
-        # table instead of searchsorted: slots are already key-sorted, so
-        # lo/hi of any bin interval is one cheap table gather. (54 scalar
-        # searchsorted passes measured ~10 ms on chip; this is ~0.1 ms.)
+        # table: lo/hi of any bin interval is one cheap table gather.
         # HB=8 coarsens boundaries by Lz/256 (~0.25 A) per side — a few
-        # extra slots per range, nothing more. Pads are excluded from the
-        # counts, so hi automatically clips to the column's real run.
+        # extra slots per range, nothing more. The table itself is ONE
+        # vectorized searchsorted of the bucket boundaries into the
+        # (already key-sorted) per-slot buckets — the earlier scatter-add
+        # histogram serialized ~S read-modify-writes on TPU (~6 ms at 25k
+        # sites); this is ~0.1 ms. Pads get the per-column sentinel bin NB,
+        # so real-bin boundaries exclude them and hi clips to the column's
+        # real run.
         real_s = mask_s > 0
         colk = jnp.clip(keys >> ZBITS, 0, n_cols - 1)
         bin8 = (keys & zmax) >> SH
-        bucket = jnp.where(real_s, colk * NB + bin8, n_cols * NB)
-        counts = jnp.zeros((n_cols * NB + 1,), jnp.int32
-                           ).at[bucket].add(1)
-        counts = counts[:n_cols * NB].reshape(n_cols, NB)
-        cum = jnp.concatenate(
-            [jnp.zeros((n_cols, 1), jnp.int32),
-             jnp.cumsum(counts, axis=1)], axis=1)      # [n_cols, NB+1]
-        cum_flat = cum.reshape(-1)
+        bucket = colk * (NB + 1) + jnp.where(real_s, bin8, NB)
+        cum_flat = jnp.searchsorted(
+            bucket, jnp.arange(n_cols * (NB + 1) + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
         big = jnp.asarray(1e30, xs.dtype)
         # cluster bounding box (rebuild-time positions; rcw = rc + skin
         # absorbs drift until the next rebuild)
@@ -486,10 +542,11 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
         jcol_all = jnp.stack([e[3] for e in entries], axis=1)
         ok_all = jnp.stack(valids, axis=1)
         # bin interval -> slot range, one gather each from the cum table
-        # (pads excluded from counts, so hi clips to the real run)
+        # (cum_flat holds ABSOLUTE slot indices; pads live in the per-column
+        # sentinel bin NB, so real-bin boundaries clip to the real run)
         base = jcol_all * (NB + 1)
-        lo = col_start[jcol_all] + cum_flat[base + blo_all]
-        hi = col_start[jcol_all] + cum_flat[base + bhi_all + 1]
+        lo = cum_flat[base + blo_all]
+        hi = cum_flat[base + bhi_all + 1]
         if triangular:
             lo = jnp.maximum(lo, cl_start[:, None])
         good = ok_all & (hi > lo)
@@ -497,11 +554,12 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
         hi_all = jnp.where(good, hi, 0)
         sc_all = jnp.where(good, sc_all, 13)
         nw = jnp.sum(good, axis=1).astype(jnp.int32)
-        overflow = jnp.maximum(jnp.max(nw) - W_MAX, 0)
+        W_ENT = plan.w_max
+        overflow = jnp.maximum(jnp.max(nw) - W_ENT, 0)
         # compact valid entries to the front WITHOUT a per-row sort:
-        # pos = rank of each valid entry; one-hot select into W_MAX slots
-        pos = jnp.cumsum(good.astype(jnp.int32), axis=1) - 1   # [NC, 27]
-        kk = jnp.arange(W_MAX, dtype=jnp.int32)
+        # pos = rank of each valid entry; one-hot select into W_ENT slots
+        pos = jnp.cumsum(good.astype(jnp.int32), axis=1) - 1   # [NC, 3W]
+        kk = jnp.arange(W_ENT, dtype=jnp.int32)
         sel = (good[:, :, None]
                & (pos[:, :, None] == kk[None, None, :]))       # [NC,27,W]
         sel_i = sel.astype(jnp.int32)
@@ -509,7 +567,7 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
                         jnp.sum(sel_i * hi_all[:, :, None], axis=1),
                         jnp.sum(sel_i * sc_all[:, :, None], axis=1)],
                        axis=2).reshape(good.shape[0], -1)      # [NC, 3*W_MAX]
-        nw = jnp.minimum(nw, W_MAX)
+        nw = jnp.minimum(nw, W_ENT)
         return wl, nw, overflow.astype(jnp.int32)
 
     return windows
@@ -521,7 +579,7 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
 
 def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
                rc2, beta, coeffs, want_energy, alch=None, zmi=None,
-               jmask=None):
+               jmask=None, skip_self_check=False):
     """[ICL, 128] pair math. Returns (coeff = dV/dr2 masked, e_lj, e_c,
     dx, dy, dz). `zmi` = (lz, 1/lz) enables in-tile minimum image on z
     (x/y images are baked into the window entries as exact column shifts;
@@ -533,7 +591,10 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
         lz, ilz = zmi
         dz = dz - lz * jnp.round(dz * ilz)
     r2 = dx * dx + dy * dy + dz * dz
-    valid = (r2 < rc2) & (r2 > 1e-9)
+    # the r2 > 0 self-pair guard is only needed by the SYMMETRIC table
+    # (energies would count the clamped self-interaction); the triangular
+    # path excludes the diagonal via its gid > islot run bound
+    valid = (r2 < rc2) if skip_self_check else ((r2 < rc2) & (r2 > 1e-9))
     if jmask is not None:
         valid = valid & jmask
     r2s = jnp.clip(r2, R2_MIN, rc2)
@@ -580,7 +641,7 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
 
 def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             rc2, beta, coeffs, want_energy, n_lanes, has_alch,
-            triangular=False, mxu=False):
+            triangular=False, i_base=0):
     c = pl.program_id(0)
     crow = c - (c // 8) * 8      # row within this program's (8, W) wl block
     irow = rows_ref[:, :]                         # [ICL, 8] (blocked)
@@ -606,12 +667,12 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
         @pl.when(c == 0)
         def _init():
             o2_ref[...] = jnp.zeros_like(o2_ref)
-        islot = c * ICL + jax.lax.broadcasted_iota(
+        cl_base = i_base + c * ICL
+        islot = cl_base + jax.lax.broadcasted_iota(
             jnp.int32, (ICL, 1), 0)
 
     def body(w, carry):
-        # carry: mxu -> (fi [ICL,3], rs [ICL,1], elj, ec)
-        #        vpu -> (fx, fy, fz, elj, ec), each [ICL, n_lanes]
+        # carry: (fx, fy, fz, elj, ec), each [ICL, n_lanes]
         lo = wl_ref[crow, 3 * w + 1]
         hi = wl_ref[crow, 3 * w + 2]
         code = wl_ref[crow, 3 * w + 3]
@@ -628,10 +689,7 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
         n_sl = (hi + n_lanes - 1) // n_lanes - s0
 
         def slice_body(s, carry2):
-            if mxu:
-                fi, rs, elj, ec = carry2
-            else:
-                fx, fy, fz, elj, ec = carry2
+            fx, fy, fz, elj, ec = carry2
             start = pl.multiple_of((s0 + s) * n_lanes, n_lanes)
             gid = lane + start
             # explicit masking: run bounds + padded-slot sentinel rows +
@@ -639,13 +697,27 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             # group id; ALL its intra pairs are excluded, so masking here
             # removes them from the direct sum entirely — no subtraction)
             gj = pT_ref[7:8, pl.ds(start, n_lanes)]
-            in_run = (gid >= lo) & (gid < hi)
-            jok = in_run & (gj > 0.0) & (gj != gi)
+            # padded-slot sentinel rows need no mask of their own: they sit
+            # at 1e6 A, so the r2 < rc2 cut removes them. Exclusion groups
+            # (gj != gi) mask a rigid solvent molecule's intra pairs
+            # directly — no subtraction path for water.
             if triangular:
-                # strict upper triangle in slot order: with the
-                # lo >= cluster-start window clamp, every unordered pair
-                # is evaluated exactly once (Newton's 3rd law in o2)
-                jok = jok & (gid > islot)
+                # strict upper triangle in slot order, folded into the run
+                # lower bound: with the lo >= cluster-start window clamp,
+                # every unordered pair is evaluated exactly once
+                # (Newton's 3rd law in o2). The triangle applies ONLY to
+                # the range overlapping this cluster's own slots: ranges
+                # from other clusters were already ownership-filtered by
+                # the table clamp, and in the SHARDED variant a halo range
+                # can sit below the cluster in LOCAL coordinates while
+                # being globally above it (ring seam) — a local gid>islot
+                # test would wrongly drop those pairs (round-4 bug, caught
+                # by the 25k parity test).
+                own = (lo < cl_base + ICL) & (hi > cl_base)     # scalar
+                lo_eff = jnp.where(own, jnp.maximum(islot + 1, lo), lo)
+            else:
+                lo_eff = lo
+            jok = (gid >= lo_eff) & (gid < hi) & (gj != gi)
             jx = pT_ref[0:1, pl.ds(start, n_lanes)] + shx
             jy = pT_ref[1:2, pl.ds(start, n_lanes)] + shy
             jz = pT_ref[2:3, pl.ds(start, n_lanes)] + shz
@@ -660,60 +732,38 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             coeff, e_lj, e_c, dx, dy, dz = _pair_tile(
                 xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
                 rc2, beta, coeffs, want_energy, alch,
-                zmi=None, jmask=jok)
+                zmi=None, jmask=jok, skip_self_check=triangular)
             c2 = 2.0 * coeff
-            if mxu:
-                # force contraction on the MXU: f_i = -sum_j c2 (pi - pj)
-                # accumulated as (c2 @ pj^T, rowsum(c2)); the rs*pi part
-                # is applied once at the end. Reaction likewise via
-                # pi^T @ c2 - colsum(c2)*pj. Replaces ~9 VPU fma/slot.
-                pj = jnp.concatenate([jx, jy, jz], axis=0)     # [3, L]
-                fi = fi + jax.lax.dot_general(
-                    c2, pj, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)        # [ICL, 3]
-                rs = rs + jnp.sum(c2, axis=1, keepdims=True)   # [ICL, 1]
-                if triangular:
-                    pi = jnp.concatenate([xi, yi, zi], axis=1)  # [ICL, 3]
-                    rj = jax.lax.dot_general(
-                        pi, c2, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # [3, L]
-                    cs = jnp.sum(c2, axis=0, keepdims=True)    # [1, L]
-                    sl = pl.ds(start, n_lanes)
-                    o2_ref[0:3, sl] = o2_ref[0:3, sl] + rj - cs * pj
-            else:
-                fx = fx - c2 * dx
-                fy = fy - c2 * dy
-                fz = fz - c2 * dz
-                if triangular:
-                    # reaction on j: += 2 coeff d, reduced over i sublanes
-                    sl = pl.ds(start, n_lanes)
-                    o2_ref[0:1, sl] = o2_ref[0:1, sl] + jnp.sum(
-                        c2 * dx, axis=0, keepdims=True)
-                    o2_ref[1:2, sl] = o2_ref[1:2, sl] + jnp.sum(
-                        c2 * dy, axis=0, keepdims=True)
-                    o2_ref[2:3, sl] = o2_ref[2:3, sl] + jnp.sum(
-                        c2 * dz, axis=0, keepdims=True)
+            # (an MXU force-contraction variant — c2 @ pj^T dot_generals
+            # instead of the fma chain — was built and A/B'd on chip in
+            # round 4: it produced WRONG forces on hardware (rel 2.2e-1 vs
+            # this path; correct in interpret mode) AND ran ~8% slower, so
+            # it was removed. Small-K [ICL,128]x[3,128] dots neither
+            # pipeline on the MXU nor lower reliably through Mosaic.)
+            fx = fx - c2 * dx
+            fy = fy - c2 * dy
+            fz = fz - c2 * dz
+            if triangular:
+                # reaction on j: += 2 coeff d, reduced over i sublanes
+                sl = pl.ds(start, n_lanes)
+                o2_ref[0:1, sl] = o2_ref[0:1, sl] + jnp.sum(
+                    c2 * dx, axis=0, keepdims=True)
+                o2_ref[1:2, sl] = o2_ref[1:2, sl] + jnp.sum(
+                    c2 * dy, axis=0, keepdims=True)
+                o2_ref[2:3, sl] = o2_ref[2:3, sl] + jnp.sum(
+                    c2 * dz, axis=0, keepdims=True)
             if want_energy:
                 elj = elj + e_lj
                 ec = ec + e_c
-            if mxu:
-                return fi, rs, elj, ec
             return fx, fy, fz, elj, ec
 
         return jax.lax.fori_loop(0, n_sl, slice_body, carry)
 
-    if mxu:
-        fi, rs, elj, ec = jax.lax.fori_loop(
-            0, nw, body, (jnp.zeros((ICL, 3), jnp.float32),
-                          jnp.zeros((ICL, 1), jnp.float32), zero, zero))
-        pi_mat = jnp.concatenate([xi, yi, zi], axis=1)          # [ICL, 3]
-        o_ref[:, 0:3] = fi - rs * pi_mat
-    else:
-        fx, fy, fz, elj, ec = jax.lax.fori_loop(
-            0, nw, body, (zero, zero, zero, zero, zero))
-        o_ref[:, 0:1] = jnp.sum(fx, axis=1, keepdims=True)
-        o_ref[:, 1:2] = jnp.sum(fy, axis=1, keepdims=True)
-        o_ref[:, 2:3] = jnp.sum(fz, axis=1, keepdims=True)
+    fx, fy, fz, elj, ec = jax.lax.fori_loop(
+        0, nw, body, (zero, zero, zero, zero, zero))
+    o_ref[:, 0:1] = jnp.sum(fx, axis=1, keepdims=True)
+    o_ref[:, 1:2] = jnp.sum(fy, axis=1, keepdims=True)
+    o_ref[:, 2:3] = jnp.sum(fz, axis=1, keepdims=True)
     ehalf = 1.0 if triangular else 0.5   # triangular visits each pair once
     if want_energy:
         o_ref[:, 3:4] = ehalf * jnp.sum(elj, axis=1, keepdims=True)
@@ -725,7 +775,8 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
 def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
                            want_energy: bool = True,
                            interpret: bool = False,
-                           triangular: bool = False):
+                           triangular: bool = False,
+                           local_shape=None):
     """Build direct(rows, pT, wl, nw, box, couple) -> (F_sorted [S,3],
     e_lj, e_c).
 
@@ -738,29 +789,42 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
     math); the reaction force accumulates into a whole-array [8, S] VMEM
     accumulator via read-modify-write, which is race-free because the TPU
     grid runs sequentially.
+
+    local_shape=(nc_local, s_local, i_base): spatial-decomposition shard
+    variant (parallel/spatial_colpair.py) — this device evaluates
+    nc_local clusters whose i-rows are the [nc_local*ICL, 8] `rows` block
+    sitting at slot offset i_base of the s_local-slot local j-array
+    (own block + ppermuted halo blocks); window entries must be
+    pre-converted to local slot coordinates. Forces return for the local
+    j-array; halo parts are reduced back to their owners by the caller.
     """
     NC = plan.n_clusters
     S = plan.n_sorted
+    if local_shape is not None:
+        # sharded-shard variant (parallel/spatial_colpair.py): this device
+        # owns NC local clusters whose i-rows sit at slot offset i_base of
+        # a [s_j]-slot local j-array (own block + ppermuted halo blocks);
+        # window entries arrive pre-converted to local coordinates.
+        NC, S, i_base = local_shape
+    else:
+        i_base = 0
     rc2 = float(plan.cutoff) ** 2
     beta = float(plan.beta)
     coeffs = tuple(float(v) for v in plan.erfcx_coeffs)
 
-    # MXU force contraction: off by default until A/B-validated on chip
-    # (interpret-mode CPU tests validate the math either way).
-    mxu = os.environ.get("MOLCHANICA_COLPAIR_MXU", "0") == "1"
     kernel = functools.partial(
         _kernel, rc2=rc2, beta=beta, coeffs=coeffs,
         want_energy=want_energy, n_lanes=128, has_alch=has_alch,
-        triangular=triangular, mxu=mxu)
+        triangular=triangular, i_base=i_base)
 
     # SMEM row width padded to a multiple of 8 words (alignment-safe)
-    _WL_W = ((3 * W_MAX + 1 + 7) // 8) * 8
+    _WL_W = ((3 * plan.w_max + 1 + 7) // 8) * 8
 
     # wl rows: [nw, entry_0 .. entry_{W_MAX-1}]; blocked 8 clusters per
     # SMEM block (Mosaic requires sublane-dim blocks divisible by 8)
     out_specs = pl.BlockSpec((ICL, 8), lambda c: (c, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((S, 8), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((NC * ICL, 8), jnp.float32)
     if triangular:
         out_specs = [out_specs,
                      pl.BlockSpec((8, S), lambda c: (0, 0),
@@ -804,6 +868,12 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
                 [wl_full, jnp.zeros((NC, pad), jnp.int32)], axis=1)
         if triangular:
             out, o2 = pc(wl_full, rows, pT, params)
+            if local_shape is not None:
+                # shard variant: i-forces [NC*ICL, 3] and j-reactions over
+                # the LOCAL j-array [s_local, 3] are reduced by the caller
+                # (halo blocks are ppermuted back to their owners)
+                return out[:, :3], o2[:3].T, jnp.sum(out[:, 3]), \
+                    jnp.sum(out[:, 4])
             f = out[:, :3] + o2[:3].T
         else:
             out = pc(wl_full, rows, pT, params)

@@ -133,13 +133,17 @@ def main():
     print(f"[sweep] kernel {ms:.3f} ms  ({gsl:.1f} G slots/s)",
           file=sys.stderr)
 
-    # A/B: force-only and MXU-contraction variants (in-process: the MXU
-    # flag is read at make_colpair_direct_fn build time)
-    for label, we, mxu in (("force_only", False, "0"),
-                           ("energy_mxu", True, "1"),
-                           ("force_only_mxu", False, "1")):
-        os.environ["MOLCHANICA_COLPAIR_MXU"] = mxu
-        d2 = make_colpair_direct_fn(plan, has_alch=False, want_energy=we,
+    # A/B: force-only and erfcx-degree-8 variants
+    import dataclasses
+    xmax = float(plan.beta) * plan.cutoff + 1e-3
+    from molchanica_tpu.ops.pallas.colpair import erfcx_cheb_coeffs
+    plan8 = dataclasses.replace(
+        plan, erfcx_coeffs=tuple(float(v)
+                                 for v in erfcx_cheb_coeffs(xmax, deg=8)))
+    for label, we, pl_use in (("force_only", False, plan),
+                              ("energy_erfcx8", True, plan8),
+                              ("force_only_erfcx8", False, plan8)):
+        d2 = make_colpair_direct_fn(pl_use, has_alch=False, want_energy=we,
                                     triangular=tri)
 
         def kern2(x, d2=d2):
@@ -153,9 +157,8 @@ def main():
         f_ab = np.asarray(kern2(rows[:, :3]))
         rel = np.abs(f_ab - f_ref).max() / max(np.abs(f_ref).max(), 1e-9)
         ms2 = scan_time(kern2, rows[:, :3])
-        print(f"[sweep] {label:16s} {ms2:.3f} ms  (rel vs base {rel:.1e})",
+        print(f"[sweep] {label:18s} {ms2:.3f} ms  (rel vs base {rel:.1e})",
               file=sys.stderr)
-    os.environ["MOLCHANICA_COLPAIR_MXU"] = "0"
 
     def sort_fn(x):
         p, k, cs, o = sort(x, boxj, jnp.asarray(props[:, 4]),
