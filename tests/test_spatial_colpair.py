@@ -1,0 +1,135 @@
+"""Sharded colpair kernel (parallel/spatial_colpair.py) force parity.
+
+The production direct-space kernel, block-sharded over the 8-device
+virtual CPU mesh with ppermute halo exchange + halo force reduce, must
+reproduce the single-device kernel on the same sorted state: identical
+tiles per cluster, so agreement is f32-reassociation tight."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from molchanica_tpu.constants import COULOMB_CONST
+from molchanica_tpu.ops.pallas.colpair import (
+    ICL, make_colpair_direct_fn, make_sort_fn, make_window_fn,
+    plan_columns)
+from molchanica_tpu.ops.pme import ewald_beta_for
+from molchanica_tpu.parallel.spatial_colpair import (
+    halo_depth_for, make_sharded_colpair_direct, pad_plan_for_mesh)
+
+
+def _build_sorted(x, q, sig, eps, box, rc, n_dev, seed=0):
+    n = x.shape[0]
+    beta = ewald_beta_for(rc, 1e-5)
+    plan = plan_columns(box, rc, beta, n, n, skin=0.5)
+    plan = pad_plan_for_mesh(plan, n_dev)
+    sort = jax.jit(make_sort_fn(plan))
+    win = jax.jit(make_window_fn(plan, triangular=True))
+    boxj = jnp.asarray(box, jnp.float32)
+    perm, keys, col_start, ovf = sort(
+        jnp.asarray(x, jnp.float32), boxj, jnp.ones((n,), jnp.float32))
+    assert int(ovf) == 0
+    perm_np = np.asarray(perm)
+    q_kc = q * np.sqrt(COULOMB_CONST)
+    xw = x - box * np.floor(x / box)
+    base = np.concatenate([
+        xw, np.stack([q_kc, sig / 2, 2 * np.sqrt(eps), np.zeros(n),
+                      1.0 + np.arange(n)], 1)], axis=1).astype(np.float32)
+    base = np.concatenate(
+        [base, np.array([[1e6, 1e6, 1e6, 0, 0, 0, 0, 0]], np.float32)], 0)
+    rows = base[perm_np]
+    wl, nw, wovf = win(jnp.asarray(rows[:, :3]), keys, boxj,
+                       jnp.asarray(rows[:, 7]), col_start)
+    assert int(wovf) == 0
+    return plan, jnp.asarray(rows), wl, nw, boxj
+
+
+def _parity_case(n, box, rc, seed):
+    n_dev = 8
+    devs = jax.devices()
+    assert len(devs) >= n_dev
+    mesh = Mesh(np.array(devs[:n_dev]), ("sp",))
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, (n, 3)) * box
+    q = rng.normal(0, 0.4, n)
+    sig = rng.uniform(2.6, 3.4, n)
+    eps = rng.uniform(0.05, 0.25, n)
+    plan, rows, wl, nw, boxj = _build_sorted(x, q, sig, eps, box, rc, n_dev)
+    halo = halo_depth_for(plan, n_dev, wl, nw)
+    assert 2 * halo + 1 <= n_dev, halo
+
+    one = jax.jit(make_colpair_direct_fn(
+        plan, has_alch=False, want_energy=True, interpret=True,
+        triangular=True))
+    couple = jnp.asarray(1.0, jnp.float32)
+    f_ref, elj_ref, ec_ref = one(rows, rows.T, wl, nw, boxj, couple)
+
+    sharded = make_sharded_colpair_direct(
+        mesh, "sp", plan, halo, has_alch=False, want_energy=True,
+        interpret=True)
+    with mesh:
+        f_sh, elj_sh, ec_sh = jax.jit(sharded)(rows, wl, nw, boxj, couple)
+
+    f_ref = np.asarray(f_ref)
+    f_sh = np.asarray(f_sh)
+    scale = max(np.abs(f_ref).max(), 1e-9)
+    assert np.abs(f_sh - f_ref).max() / scale < 5e-6, \
+        np.abs(f_sh - f_ref).max() / scale
+    assert abs(float(elj_sh) - float(elj_ref)) / max(
+        abs(float(elj_ref)), 1.0) < 1e-5
+    assert abs(float(ec_sh) - float(ec_ref)) / max(
+        abs(float(ec_ref)), 1.0) < 1e-5
+    return halo
+
+
+def test_sharded_colpair_matches_single_device_small():
+    halo = _parity_case(600, np.array([21.0, 22.0, 23.0]), 6.0, seed=11)
+    assert halo >= 1          # the halo exchange actually ran
+
+
+@pytest.mark.slow
+def test_sharded_colpair_matches_single_device_25k():
+    """VERDICT r3 ask #5: force parity at 25k sites over the virtual
+    8-device mesh with the production kernel."""
+    from molchanica_tpu.systems.bench_systems import build_solvated_protein
+    import os
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sp",))
+    asys = build_solvated_protein(n_residues=250, target_sites=25000,
+                                  seed=3)
+    top = asys.topology
+    n = top.n_atoms
+    box = np.asarray(asys.box_extent, np.float64)
+    x0 = np.asarray(asys.positions, np.float64)
+    fixture = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "molchanica_tpu", "systems", "data",
+        "eq25k.npz")
+    if os.path.exists(fixture):
+        d = np.load(fixture)
+        if d["x"].shape[0] == n:
+            x0 = np.asarray(d["x"], np.float64)
+    q = np.asarray(top.charges) * np.asarray(top.atom_mask)
+    sig = np.asarray(top.lj_sigma)
+    eps = np.asarray(top.lj_eps)
+    # treat as an atomic system (unique group ids — exclusions are the
+    # engine's business; this validates the sharded KERNEL exactly)
+    plan, rows, wl, nw, boxj = _build_sorted(
+        x0, q, sig, eps, box, 9.0, n_dev)
+    halo = halo_depth_for(plan, n_dev, wl, nw)
+    one = jax.jit(make_colpair_direct_fn(
+        plan, has_alch=False, want_energy=True, interpret=True,
+        triangular=True))
+    couple = jnp.asarray(1.0, jnp.float32)
+    f_ref, elj_ref, ec_ref = one(rows, rows.T, wl, nw, boxj, couple)
+    sharded = make_sharded_colpair_direct(
+        mesh, "sp", plan, halo, has_alch=False, want_energy=True,
+        interpret=True)
+    with mesh:
+        f_sh, elj_sh, ec_sh = jax.jit(sharded)(rows, wl, nw, boxj, couple)
+    f_ref = np.asarray(f_ref)
+    f_sh = np.asarray(f_sh)
+    scale = np.abs(f_ref).max()
+    assert np.abs(f_sh - f_ref).max() / scale < 1e-4
+    assert abs(float(ec_sh) - float(ec_ref)) / abs(float(ec_ref)) < 1e-5
