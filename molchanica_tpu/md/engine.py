@@ -566,7 +566,27 @@ class MdSim:
              force_cap=None):
         """Advance n_steps of size dt_ps (reference: MdState::step,
         src/md/mod.rs:716 — dt in ps). `force_cap` clamps per-atom forces
-        (kcal/mol/A) — equilibration aid."""
+        (kcal/mol/A) — equilibration aid.
+
+        Requests larger than cfg.steps_per_chunk are split into
+        steps_per_chunk-sized dispatches: the chunk program's cache key
+        includes its length, so varying request sizes would otherwise
+        recompile (~20-40 s on the remote TPU compiler) instead of reusing
+        the warm program."""
+        spc = self.cfg.steps_per_chunk
+        if n_steps > spc and not (self._hostloop_nbr
+                                  and not self.cfg.use_scan_chunks):
+            energies = []
+            done = 0
+            while done < n_steps:
+                todo = min(spc, n_steps - done)
+                e = self.step(dt_ps, todo, record_energy, force_cap)
+                if record_energy and e is not None:
+                    energies.append(e)
+                done += todo
+            if record_energy:
+                return jnp.concatenate(energies) if energies else None
+            return None
         t0 = time.perf_counter()
         self._sim_time_ps = getattr(self, "_sim_time_ps", 0.0) \
             + dt_ps * n_steps
