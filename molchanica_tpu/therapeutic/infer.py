@@ -32,6 +32,12 @@ class TherapeuticPredictor:
         self.scaler = blob["scaler"]
         self.cfg = blob["cfg"]
         self.metrics: Dict[str, float] = blob.get("metrics", {})
+        # honest provenance: measured experimental labels vs computed
+        # physicochemical surrogates (see targets.EXPERIMENTAL_DATA)
+        from .targets import EXPERIMENTAL_DATA
+        self.label_source = ("measured"
+                             if self.target in EXPERIMENTAL_DATA
+                             else "computed-proxy")
 
     def predict_mols(self, mols) -> np.ndarray:
         from ..models.adme import predict_adme

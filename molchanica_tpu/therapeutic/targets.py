@@ -208,10 +208,22 @@ EXPERIMENTAL_DATA: Dict[str, str] = {
     # curates; the TDC HydrationFreeEnergy_FreeSolv target trains on
     # measured data here, not a computed surrogate
     "hydrationfreeenergy_freesolv": "data/freesolv_experimental.csv",
+    # measured aqueous solubility (log10 mol/L, 25 C): 59 standard
+    # literature/handbook values (alkanes through drugs: DDT -8.08,
+    # naproxen -4.15, caffeine -0.88, ...) — the TDC Solubility_AqSolDB
+    # target now trains on MEASURED data by default instead of the
+    # ESOL-formula surrogate
+    "solubility_aqsoldb": "data/solubility_experimental.csv",
+    # measured acidic pKa (water, 25 C): 40 textbook values (carboxylic
+    # acids, phenols, barbiturates); labels a featurizer cannot compute
+    "pka_experimental": "data/pka_experimental.csv",
 }
 TARGETS["logp_experimental"] = TargetSpec(
     "logp_experimental", False, _clogp,
     "experimental octanol/water logP (embedded literature dataset)")
+TARGETS["pka_experimental"] = TargetSpec(
+    "pka_experimental", False, lambda ch, mol: 7.0,   # labels come from CSV
+    "experimental acidic pKa (embedded literature dataset)")
 
 
 def compute_labels(spec: TargetSpec, mols) -> np.ndarray:
