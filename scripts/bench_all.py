@@ -38,14 +38,14 @@ def config1_vacuum_ligand():
                    max_init_relaxation_iters=300, steps_per_chunk=500,
                    seed=1)
     sim = MdSim(asys.topology, cfg, asys.positions)
-    sim.step(0.001, 500)                       # compile + settle
-    t0 = time.perf_counter()
-    sim.step(0.001, 5000)
+    sim.step(0.001, 1000)                      # compile + settle (2 chunks,
+    t0 = time.perf_counter()                   # so the timed loop is warm)
+    sim.step(0.001, 10000)
     el = time.perf_counter() - t0
     report("1_vacuum_ligand_nve",
            n_atoms=int(asys.topology.n_atoms_real),
-           us_per_step=round(el / 5000 * 1e6, 2),
-           ns_per_day=round(0.001 * 86400 / (el / 5000) / 1000, 1))
+           us_per_step=round(el / 10000 * 1e6, 2),
+           ns_per_day=round(0.001 * 86400 / (el / 10000) / 1000, 1))
 
 
 def config2_vacuum_peptide():
@@ -65,14 +65,14 @@ def config2_vacuum_peptide():
                    dtype="float32", max_init_relaxation_iters=300,
                    steps_per_chunk=500, seed=1)
     sim = MdSim(asys.topology, cfg, asys.positions)
-    sim.step(0.002, 500)
+    sim.step(0.002, 1000)                      # compile + settle, warm chunk
     t0 = time.perf_counter()
-    sim.step(0.002, 5000)
+    sim.step(0.002, 10000)
     el = time.perf_counter() - t0
     report("2_vacuum_peptide_nvt",
            n_atoms=int(asys.topology.n_atoms_real),
-           us_per_step=round(el / 5000 * 1e6, 2),
-           ns_per_day=round(0.002 * 86400 / (el / 5000) / 1000, 1),
+           us_per_step=round(el / 10000 * 1e6, 2),
+           ns_per_day=round(0.002 * 86400 / (el / 10000) / 1000, 1),
            temperature_K=round(float(sim.temperature()), 1))
 
 
@@ -109,6 +109,25 @@ def config4_docking():
             source = f"pdbbind:{entry.pdb_id}"
             break
     if pocket is None:
+        # committed pocket fixture: a physically collapsed 48-residue
+        # globule + posed ligand built by scripts/make_pocket_fixture.py
+        # (this offline env ships no PDBbind data; the PDBbind path above
+        # activates via MOLCHANICA_PDBBIND_ROOT)
+        import molchanica_tpu
+        fdir = os.path.join(os.path.dirname(os.path.abspath(
+            molchanica_tpu.__file__)), "systems", "data")
+        fpdb = os.path.join(fdir, "pocket_fixture.pdb")
+        fsdf = os.path.join(fdir, "pocket_ligand.sdf")
+        if os.path.exists(fpdb) and os.path.exists(fsdf):
+            from molchanica_tpu.io.sdf import read_sdf
+            ligmol = read_sdf(fsdf)
+            if isinstance(ligmol, list):
+                ligmol = ligmol[0]
+            pocket = MoleculePocket.from_file(fpdb, pdb_id="fixture",
+                                              ligand=ligmol)
+            lig = ligmol.to_spec(strict=False)
+            source = "pocket_fixture(collapsed globule)"
+    if pocket is None:
         rec = prepare_peptide(build_peptide("ACDEFGHIKLMNPQRSTVW" * 2))
         center = np.asarray(rec.positions).mean(axis=0)
         site = DockingSite(site_center=center, site_radius=8.0)
@@ -134,10 +153,16 @@ def config4_docking():
 
 
 def config5_dna_and_screening():
-    """Solvated DNA duplex MD + batched replica screening."""
+    """Solvated DNA duplex MD (FastSim colpair engine) + replica screening.
+
+    The duplex box is a periodic solvated system — exactly FastSim's shape
+    — so it rides the same kernel as the 25k headline config instead of
+    the general MdSim path (round-3 measured MdSim 16x slower per step
+    here, and 30 K hot from under-equilibration)."""
     from molchanica_tpu.md.config import (
         HydrogenConstraint, Integrator, MdConfig)
     from molchanica_tpu.md.engine import MdSim
+    from molchanica_tpu.md.fast_engine import FastSim
     from molchanica_tpu.molecules.nucleic_acid import MoleculeNucleicAcid
     from molchanica_tpu.molecules.spec import assemble_system
     from molchanica_tpu.parallel.replicas import ReplicaFarm
@@ -149,31 +174,45 @@ def config5_dna_and_screening():
     spec = spec.translated(box / 2 - np.asarray(spec.positions).mean(0))
     asys = assemble_system([spec], box_extent=box, water_model=OPC,
                            neutralize=True, seed=2)
-    cfg = MdConfig(integrator=Integrator.langevin_middle(gamma=5.0),
+    cfg = MdConfig(integrator=Integrator.langevin_middle(gamma=1.0),
                    temp_target=310.0, lj_cutoff=9.0, coulomb_cutoff=9.0,
                    hydrogen_constraint=HydrogenConstraint.shake(),
-                   dtype="float32", max_init_relaxation_iters=300,
-                   steps_per_chunk=50, seed=2)
-    sim = MdSim(asys.topology, cfg, asys.positions,
-                box_extent=asys.box_extent)
+                   dtype="float32", neighbor_rebuild_every=20, seed=2)
+    sim = FastSim(asys.topology, cfg, asys.positions,
+                  box_extent=asys.box_extent)
+    # staged equilibration from the synthetic packing: minimize, capped
+    # small steps, then thermalize long enough for the Langevin bath to
+    # pull the packing heat out (the round-3 +30 K came from timing after
+    # only ~800 steps)
+    sim.minimize(300)
     sim.step(0.0005, 200, force_cap=2000.0)
-    sim.step(0.001, 100)
+    sim.step(0.001, 300, force_cap=5000.0)
+    sim.step(0.002, 1500)
     t0 = time.perf_counter()
-    sim.step(0.002, 500)
+    sim.step(0.002, 1000)
     el = time.perf_counter() - t0
     n_at = int(asys.topology.n_atoms_real)
-    # multi-replica screening throughput on the same solvated system
-    farm = ReplicaFarm(sim, 4, seed=3)
+    # multi-replica screening throughput on a solvated protein-ligand-style
+    # system (vmapped MdSim replicas; independent-replica farm metric)
+    cfg_r = MdConfig(integrator=Integrator.langevin_middle(gamma=5.0),
+                     temp_target=310.0, lj_cutoff=9.0, coulomb_cutoff=9.0,
+                     hydrogen_constraint=HydrogenConstraint.shake(),
+                     dtype="float32", max_init_relaxation_iters=150,
+                     steps_per_chunk=50, seed=2)
+    sim_r = MdSim(asys.topology, cfg_r, asys.positions,
+                  box_extent=asys.box_extent)
+    farm = ReplicaFarm(sim_r, 4, seed=3)
     farm.step(0.002, 5)
     t1 = time.perf_counter()
     farm.step(0.002, 50)
     el2 = time.perf_counter() - t1
     report("5_dna_duplex_and_screening",
            n_atoms=n_at,
-           ms_per_step=round(el / 500 * 1000, 2),
-           ns_per_day=round(0.002 * 86400 / (el / 500) / 1000, 1),
+           ms_per_step=round(el / 1000 * 1000, 2),
+           ns_per_day=round(0.002 * 86400 / (el / 1000) / 1000, 1),
            replica_steps_per_sec=round(4 * 50 / el2, 1),
-           temperature_K=round(float(sim.temperature()), 1))
+           temperature_K=round(float(sim.temperature()), 1),
+           engine="fastsim_colpair")
 
 
 def main():

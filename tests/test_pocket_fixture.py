@@ -1,0 +1,96 @@
+"""Committed pocket fixture (systems/data/pocket_fixture.pdb + ligand):
+docking-path sanity on a real concave receptor (VERDICT r3 ask #6 —
+offline analog; the PDBbind path stays env-gated, drug_design/pdbbind.py).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import molchanica_tpu
+
+FDIR = os.path.join(os.path.dirname(os.path.abspath(
+    molchanica_tpu.__file__)), "systems", "data")
+FPDB = os.path.join(FDIR, "pocket_fixture.pdb")
+FSDF = os.path.join(FDIR, "pocket_ligand.sdf")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(FPDB) and os.path.exists(FSDF)),
+    reason="pocket fixture not built")
+
+
+def _load():
+    from molchanica_tpu.io.sdf import read_sdf
+    from molchanica_tpu.molecules.pocket import MoleculePocket
+    lig = read_sdf(FSDF)
+    if isinstance(lig, list):
+        lig = lig[0]
+    pocket = MoleculePocket.from_file(FPDB, pdb_id="fixture", ligand=lig)
+    return pocket, lig
+
+
+def test_fixture_is_compact_globule():
+    pocket, _lig = _load()
+    x = np.asarray(pocket.mol.positions)
+    rg = np.sqrt(((x - x.mean(0)) ** 2).sum(1).mean())
+    assert 6.0 < rg < 16.0, rg          # collapsed, not extended
+    assert x.shape[0] > 500
+
+
+def test_scorer_finds_pocket_poses_and_matches_mdsim_energy():
+    """Pose scorer on the fixture pocket: (a) scoring runs and produces a
+    negative best energy (a real cavity binds), (b) the scorer's LJ +
+    Coulomb on the best pose agree in SIGN and magnitude order with the
+    general engine's interaction energy for the same geometry."""
+    from molchanica_tpu.docking.poses import init_poses
+    from molchanica_tpu.docking.scorer import score_poses
+    from molchanica_tpu.docking.setup import DockingSetup
+    from molchanica_tpu.docking.site import DockingSite
+
+    pocket, ligmol = _load()
+    lig = ligmol.to_spec(strict=False)
+    rec = pocket.mol.to_spec(strict=False)
+    c, r = pocket.docking_site()
+    site = DockingSite(site_center=c, site_radius=min(float(r), 9.0))
+    setup = DockingSetup.new(rec, site)
+    poses = init_poses(lig.positions, site.site_center,
+                       site_radius=float(site.site_radius), n_grid=4,
+                       n_orientations=8, max_poses=256, seed=1)
+    e = score_poses(setup, lig, poses)
+    tot = np.asarray(e.total)
+    clash = np.asarray(e.clash)
+    # scorer contract: clashed poses are culled with +inf; every
+    # surviving pose must be finite, and some poses must survive
+    assert np.isfinite(tot[~clash]).all()
+    assert (~clash).sum() > 10, f"only {(~clash).sum()} poses survive"
+    best = int(np.argmin(tot))
+    assert tot[best] < 0.0, tot[best]    # something binds in the cavity
+
+    # cross-check vs the engine's nonbonded interaction energy: build the
+    # two-molecule system at the best pose and compare E_int = E_AB -
+    # E_A - E_B (vacuum, all-pairs) to the scorer's LJ+Coulomb part
+    from molchanica_tpu.md.config import MdConfig, Integrator
+    from molchanica_tpu.md.engine import compute_energy_snapshot
+    from molchanica_tpu.molecules.spec import assemble_system
+
+    cfg = MdConfig(integrator=Integrator.verlet_velocity(thermostat=None),
+                   dtype="float32", max_init_relaxation_iters=None, seed=1)
+
+    lig_best = lig
+    lig_best.positions = np.asarray(poses[best])
+
+    def pot(specs):
+        asys = assemble_system([s for s in specs])
+        t = compute_energy_snapshot(asys.topology, cfg, asys.positions)
+        return t["lj"] + t["coulomb"] + t.get("recip", 0.0)
+
+    e_ab = pot([rec, lig_best])
+    e_a = pot([rec])
+    e_b = pot([lig_best])
+    e_int_engine = e_ab - e_a - e_b
+    e_scorer = float(np.asarray(e.lj)[best] + np.asarray(e.coulomb)[best])
+    # different cutoff/clamp conventions: demand sign + same order of
+    # magnitude, not equality
+    assert e_int_engine < 0.0
+    assert abs(e_scorer - e_int_engine) < 0.7 * abs(e_int_engine) + 8.0, \
+        (e_scorer, e_int_engine)
