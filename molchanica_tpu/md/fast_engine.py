@@ -31,6 +31,7 @@ from ..ops.pallas.colpair import (
     ICL,
     R2_MIN,
     W_MAX,
+    ZBITS,
     make_colpair_direct_fn,
     make_window_fn,
     pairlist_colpair_energy,
@@ -106,6 +107,12 @@ class FastState:
     vp_role: jnp.ndarray     # 1=O 2=H1 3=H2 parent role, -1 = none
     hc_of: jnp.ndarray       # H-cluster row owning this slot (C = none)
     hc_role: jnp.ndarray     # 0=heavy 1..3=H member, -1 = none
+    # species-split subset tables (dict pytree, rebuilt with the sort;
+    # {} when the split path is disabled): idx_*/props_* are the subset
+    # gather indices + static per-rebuild kernel props, wl_*/nw_* the
+    # per-subset window tables, gsrc the [S] merge-gather indices into
+    # concat(f_L, f_Q, f_S, zero-row).
+    split: dict
     f: jnp.ndarray           # [S, 3] forces at x (carried across chunks)
     rng_key: jnp.ndarray
     box: jnp.ndarray
@@ -341,16 +348,104 @@ class FastSim:
         # pair math of the symmetric table. Env knob for A/B debugging.
         import os
         tri = os.environ.get("MOLCHANICA_FASTSIM_TRI", "1") == "1"
+        # flat slice tables (one window entry = one 128-lane slice): kills
+        # the per-range scalar overhead (ceil-div + nested fori_loop setup,
+        # chip-measured ~0.5 us/range ~ 45% of kernel time). 0 disables.
+        psk = int(os.environ.get("MOLCHANICA_PERSLICE_K", "64"))
+        self._psk = psk
         self._direct = make_colpair_direct_fn(
             self.plan, has_alch=has_alch, want_energy=True,
-            interpret=interpret, triangular=tri)
+            interpret=interpret, triangular=tri, per_slice_k=psk)
         # force-only kernel for the hot (non-recording) chunk path: the
         # LJ/Coulomb energy accumulators cost ~8-10% of the pair tile and
         # are only needed at snapshot/record time (explicit variant — not
         # compiler DCE; see _pair_tile)
         self._direct_ne = make_colpair_direct_fn(
             self.plan, has_alch=has_alch, want_energy=False,
-            interpret=interpret, triangular=tri)
+            interpret=interpret, triangular=tri, per_slice_k=psk)
+
+        # ---- species-split direct path (round 4) ------------------------
+        # In a rigid multi-site water the interaction roles factor: OPC's O
+        # carries only LJ (q=0) and its H/M sites only charge (eps=0), so
+        # most of the 4x4 site-pair work at 25k sites is structurally
+        # empty. Split the direct sum into two triangular kernels over two
+        # overlapping subsets:
+        #   L = water LJ sites (O) + ALL solute/ion atoms, full LJ+Coulomb
+        #       math (O's q=0 makes its Coulomb terms vanish; solute-solute
+        #       and solute-O pairs are complete here);
+        #   Q = water charge sites (H/M) + ALL solute/ion atoms, pure
+        #       Coulomb math, with solute-solute pairs FILTERED (the L
+        #       kernel owns them) via the water group-id range test.
+        # O-H/M pairs never pair up (different subsets) — they have no
+        # interaction (q_O = 0, eps_HM = 0). Net: pair slots ~0.65x and
+        # most of them Coulomb-only math, vs the monolithic kernel.
+        # Subset arrays reuse the master column sort (per-column runs
+        # padded to ICL, see _subset_tables). Reference capability this
+        # accelerates: the CUDA pair kernel
+        # (/root/reference/src/cuda/util.cu:93).
+        self._split = None
+        if (tri and self._n_wsites
+                and os.environ.get("MOLCHANICA_SPLIT", "1") == "1"):
+            wst = self._wstride
+            weps = np.asarray(top.lj_eps)[self._ws:self._ws + wst]
+            wq_r = np.asarray(top.charges)[self._ws:self._ws + wst]
+            lj_roles = [r for r in range(wst) if weps[r] > 0]
+            q_roles = [r for r in range(wst) if abs(wq_r[r]) > 1e-12]
+            split_ok = (lj_roles and q_roles
+                        and not set(lj_roles) & set(q_roles))
+            if split_ok:
+                idx_b = np.arange(n_base)
+                in_w_b = ((idx_b >= self._ws)
+                          & (idx_b < self._ws + self._n_wsites))
+                role_b = np.where(in_w_b, (idx_b - self._ws) % wst, -1)
+                amask_b = np.asarray(top.atom_mask) > 0
+                in_sol = (~in_w_b) & amask_b
+                has_solute = bool(in_sol.sum() > 0)
+                in_L = (np.isin(role_b, lj_roles) & amask_b) | in_sol
+                in_Q = (np.isin(role_b, q_roles) & amask_b) | in_sol
+                n_cols = self.plan.n_cols
+
+                def sub_size(n):
+                    cap = int(n) + ICL * n_cols
+                    return ((cap + 127) // 128) * 128
+
+                import dataclasses as _dc
+                S_L = sub_size(in_L.sum())
+                S_Q = sub_size(in_Q.sum())
+                # L keys: O sites key by their own (anchor) position and
+                # solute atoms by theirs, so no blob margin is needed
+                # unless solute is present with water-keyed H (solute H
+                # bins by its own position too) — r_blob=0 is exact for L.
+                plan_L = _dc.replace(self.plan, n_sorted=S_L, r_blob=0.0)
+                plan_Q = _dc.replace(self.plan, n_sorted=S_Q)
+                wlo = float(self._ws + 1)
+                whi = float(self._ws + self._n_wsites + 1)
+                mode_L = "full" if has_solute else "lj"
+                wfilt = (wlo, whi) if has_solute else None
+                kset = {}
+                for we in (True, False):
+                    kset[we] = dict(
+                        L=make_colpair_direct_fn(
+                            plan_L, has_alch=has_alch, want_energy=we,
+                            interpret=interpret, triangular=True,
+                            mode=mode_L, per_slice_k=psk),
+                        Q=make_colpair_direct_fn(
+                            plan_Q, has_alch=has_alch, want_energy=we,
+                            interpret=interpret, triangular=True,
+                            mode="coul", water_filter=wfilt,
+                            per_slice_k=psk),
+                    )
+                self._split = dict(
+                    S_L=S_L, S_Q=S_Q,
+                    plan_L=plan_L, plan_Q=plan_Q,
+                    in_L_ext=jnp.asarray(np.append(in_L, False)),
+                    in_Q_ext=jnp.asarray(np.append(in_Q, False)),
+                    kernels=kset, has_solute=has_solute,
+                    win_L=make_window_fn(plan_L, triangular=True,
+                                         per_slice_k=psk),
+                    win_Q=make_window_fn(plan_Q, triangular=True,
+                                         per_slice_k=psk),
+                )
 
         # sort/window programs. The sort is ANCHOR-based: one key per
         # molecule block (waters) / free atom, argsort over ~N/3 keys, then
@@ -372,7 +467,8 @@ class FastSim:
         from ..ops.pallas.colpair import make_anchor_sort_fn
         self._anchor_sort = make_anchor_sort_fn(
             self.plan, anchor_ids, sizes, np.asarray(top.atom_mask))
-        self._windows = make_window_fn(self.plan, triangular=tri)
+        self._windows = make_window_fn(self.plan, triangular=tri,
+                                       per_slice_k=psk)
         # static base-order helpers for the molecule-frame wrap
         idx_b = np.arange(n_base)
         in_w_b = (idx_b >= self._ws) & (idx_b < self._ws + self._n_wsites)
@@ -406,14 +502,37 @@ class FastSim:
         # rebuild; replaced immediately by _rebuild)
         init_tables = self._merge_tables(
             self._widx_base, self._vs_base, self._hc_idx_base)
+        sp0 = {}
+        if self._split is not None:
+            spc = self._split
+            zrow = spc["S_L"] + spc["S_Q"]
+
+            def sub0(pl_sub, key):
+                return {
+                    f"idx_{key}": jnp.full((pl_sub.n_sorted,), S, jnp.int32),
+                    f"props_{key}": jnp.zeros((pl_sub.n_sorted, 5),
+                                              jnp.float32),
+                    f"wl_{key}": jnp.zeros(
+                        (pl_sub.n_clusters,
+                         3 * (self._psk or pl_sub.w_max)), jnp.int32),
+                    f"nw_{key}": jnp.zeros(
+                        (pl_sub.n_clusters,), jnp.int32),
+                }
+
+            sp0 = dict(**sub0(spc["plan_L"], "l"),
+                       **sub0(spc["plan_Q"], "q"),
+                       gsrc_l=jnp.full((S,), zrow, jnp.int32),
+                       gsrc_q=jnp.full((S,), zrow, jnp.int32))
         state = FastState(
+            split=sp0,
             perm=jnp.asarray(perm_init),
             x=jnp.asarray(x_init),
             v=jnp.asarray(v_init),
             props=self._props_base[jnp.asarray(perm_init)],
             masses=self._masses_base[jnp.asarray(perm_init)],
             dof=self._dof_base[jnp.asarray(perm_init)],
-            wl=jnp.zeros((self.plan.n_clusters, 3 * self.plan.w_max),
+            wl=jnp.zeros((self.plan.n_clusters,
+                          3 * (self._psk or self.plan.w_max)),
                          jnp.int32),
             nw=jnp.zeros((self.plan.n_clusters,), jnp.int32),
             bond_idx=top.bond_idx, angle_idx=top.angle_idx,
@@ -487,6 +606,81 @@ class FastSim:
                     hc_of=hc_of, hc_role=hc_role)
 
     # ------------------------------------------------------------------
+    def _subset_tables(self, perm_new, keys, col_start, x_new, props_new,
+                       box):
+        """Species-split subset arrays, derived from the master sort.
+
+        Each subset keeps the master's per-column ordering with its own
+        per-column runs padded to ICL multiples (the invariant the window
+        builder and kernel grid rely on). Returns the split dict for
+        FastState plus the summed overflow."""
+        spc = self._split
+        S = self.S
+        n_cols = self.plan.n_cols
+        zmaxv = (1 << ZBITS) - 1
+        slot_col = jnp.minimum(jnp.searchsorted(
+            col_start[1:], jnp.arange(S, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32), n_cols - 1)
+        x_ext = jnp.concatenate(
+            [x_new, jnp.full((1, 3), 1.0e6, jnp.float32)], axis=0)
+        keys_ext = jnp.concatenate([keys, jnp.zeros((1,), keys.dtype)])
+        props_ext = jnp.concatenate(
+            [props_new, jnp.zeros((1, props_new.shape[1]), jnp.float32)],
+            axis=0)
+
+        def build(in_ext, S_sub):
+            # Gather-free subset construction (TPU scatter is serialized
+            # RMW — the .at[].set inverse build measured ~10 ms/subset at
+            # 25k sites): the k-th member of column c sits at the master
+            # slot where the membership cumsum first reaches its rank, one
+            # vectorized searchsorted for the whole subset array.
+            m = in_ext[perm_new]                     # [S]; pads -> False
+            mi = m.astype(jnp.int32)
+            mcum = jnp.cumsum(mi)                    # inclusive
+            me = mcum - mi                           # exclusive
+            me_ext = jnp.concatenate([me, mcum[-1:]])
+            nb = me_ext[col_start]                   # members before column
+            cnt = nb[1:] - nb[:-1]
+            pcnt = ((cnt + ICL - 1) // ICL) * ICL
+            cs = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(pcnt).astype(jnp.int32)])
+            ovf = jnp.maximum(cs[-1] - S_sub, 0)
+            tt = jnp.arange(S_sub, dtype=jnp.int32)
+            sub_col = jnp.minimum(jnp.searchsorted(
+                cs[1:], tt, side="right").astype(jnp.int32), n_cols - 1)
+            r_in = tt - cs[sub_col]
+            valid = r_in < cnt[sub_col]
+            want = nb[sub_col] + r_in
+            found = jnp.searchsorted(
+                mcum, want + 1, side="left").astype(jnp.int32)
+            idx = jnp.where(valid, jnp.minimum(found, S - 1), S)
+            pad_key = (sub_col << ZBITS) | zmaxv
+            kk = jnp.where(valid, keys_ext[jnp.minimum(idx, S)], pad_key)
+            # master slot -> subset row (for the force merge), -1 = absent
+            gs = jnp.where(m, cs[slot_col] + (me - nb[slot_col]), -1)
+            return idx, kk, cs, ovf, gs
+
+        idx_l, keys_l, cs_l, ov1, gs_l = build(spc["in_L_ext"], spc["S_L"])
+        idx_q, keys_q, cs_q, ov2, gs_q = build(spc["in_Q_ext"], spc["S_Q"])
+        props_l = props_ext[idx_l]
+        props_q = props_ext[idx_q]
+        wl_l, nw_l, ov3 = spc["win_L"](
+            x_ext[idx_l], keys_l, box, props_l[:, 4], cs_l)
+        wl_q, nw_q, ov4 = spc["win_Q"](
+            x_ext[idx_q], keys_q, box, props_q[:, 4], cs_q)
+        ovf = ov1 + ov2 + ov3 + ov4
+        sp = dict(idx_l=idx_l, props_l=props_l, wl_l=wl_l, nw_l=nw_l,
+                  idx_q=idx_q, props_q=props_q, wl_q=wl_q, nw_q=nw_q)
+        # merge-gathers: master slot -> its row(s) in concat(fL, fQ,
+        # 0-row). Solute atoms live in BOTH subsets (their L and Q force
+        # halves add); water/pad slots point one gather at the zero row.
+        zrow = spc["S_L"] + spc["S_Q"]
+        sp["gsrc_l"] = jnp.where(gs_l >= 0, gs_l, zrow)
+        sp["gsrc_q"] = jnp.where(gs_q >= 0, spc["S_L"] + gs_q, zrow)
+        return sp, ovf
+
+    # ------------------------------------------------------------------
     def _rebuild(self, st: FastState) -> FastState:
         """Re-sort by column (anchor-based), regather, remap, rebuild
         windows. Works in BASE order: state is scattered back to base ids,
@@ -540,7 +734,13 @@ class FastSim:
         widx_new = remap(self._widx_base)
         vsite_new = remap(self._vs_base)
         hc_new = remap(self._hc_idx_base)
+        if self._split is not None:
+            sp, ovf3 = self._subset_tables(
+                perm_new, keys, col_start, x_new, props_new, st.box)
+        else:
+            sp, ovf3 = {}, jnp.zeros((), jnp.int32)
         return st.replace(
+            split=sp,
             perm=perm_new, x=x_new, v=v_new, f=f_new, props=props_new,
             masses=masses_new, dof=dof_new, wl=wl, nw=nw,
             bond_idx=remap(top.bond_idx), angle_idx=remap(top.angle_idx),
@@ -550,7 +750,7 @@ class FastSim:
             intra_idx=remap(self._im_idx_base),
             vsite_idx=vsite_new, widx=widx_new,
             hc_idx=hc_new,
-            overflow=st.overflow + ovf1 + ovf2,
+            overflow=st.overflow + ovf1 + ovf2 + ovf3,
             **self._merge_tables(widx_new, vsite_new, hc_new),
         )
 
@@ -623,16 +823,42 @@ class FastSim:
 
         direct = self._direct if want_energy else self._direct_ne
 
+        split = self._split
+        skern = (split["kernels"][bool(want_energy)]
+                 if split is not None else None)
+
         def force(x, st: FastState):
             box = st.box
             couple = st.couple
             props = st.props
             x_v = self._apply_vsites(x, st.vsite_idx, box, st.vm_of)
-            rows = jnp.concatenate(
-                [x_v, props, jnp.zeros((self.S, 0), jnp.float32)], axis=1)
-            pT = rows.T
-            f_dir, e_lj, e_c = direct(
-                rows, pT, st.wl, st.nw, box, couple)
+            if split is not None:
+                # species-split direct sum: L = {water O + solute}, full
+                # math; Q = {water H/M + solute}, Coulomb-only with
+                # solute-solute pairs filtered (L owns them). See __init__.
+                sp = st.split
+                x_ext = jnp.concatenate(
+                    [x_v, jnp.full((1, 3), 1.0e6, jnp.float32)], axis=0)
+                rows_l = jnp.concatenate(
+                    [x_ext[sp["idx_l"]], sp["props_l"]], axis=1)
+                f_l, elj_l, ec_l = skern["L"](
+                    rows_l, rows_l.T, sp["wl_l"], sp["nw_l"], box, couple)
+                rows_q = jnp.concatenate(
+                    [x_ext[sp["idx_q"]], sp["props_q"]], axis=1)
+                f_q, elj_q, ec_q = skern["Q"](
+                    rows_q, rows_q.T, sp["wl_q"], sp["nw_q"], box, couple)
+                comb = jnp.concatenate(
+                    [f_l, f_q, jnp.zeros((1, 3), jnp.float32)], axis=0)
+                f_dir = comb[sp["gsrc_l"]] + comb[sp["gsrc_q"]]
+                e_lj = elj_l + elj_q
+                e_c = ec_l + ec_q
+            else:
+                rows = jnp.concatenate(
+                    [x_v, props, jnp.zeros((self.S, 0), jnp.float32)],
+                    axis=1)
+                pT = rows.T
+                f_dir, e_lj, e_c = direct(
+                    rows, pT, st.wl, st.nw, box, couple)
 
             q_kc = props[:, 0]
             sh = props[:, 1]
@@ -884,13 +1110,19 @@ class FastSim:
 
     # ------------------------------------------------------------------
     def _get_chunk_fn(self, dt: float, k_steps: int, record_energy: bool,
-                      force_cap):
+                      force_cap, periods: int = 1):
         # record_energy selects the kernel variant: hot chunks use the
         # force-only pair tile (the LJ/Coulomb accumulators cost ~8-10%);
         # recording chunks pay for true per-step energies. pe_last from a
         # hot chunk holds only the bonded/recip remainder — snapshots
         # recompute the full energy on demand (_record_snapshot).
-        key = (dt, k_steps, bool(record_energy), force_cap)
+        #
+        # periods > 1: ONE dispatch covers `periods` rebuild cycles —
+        # lax.scan over (rebuild -> k_steps inner scan). The axon relay's
+        # per-dispatch floor is ~25 ms (chip-measured round 4); at the
+        # default k=20 that is 1.25 ms/step of pure latency, amortized
+        # to floor/(periods*k) here.
+        key = (dt, k_steps, bool(record_energy), force_cap, int(periods))
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
@@ -920,7 +1152,7 @@ class FastSim:
                               step=st.step + k_steps,
                               pe_last=e_last, ke_last=ke), terms
 
-        def chunk(st: FastState):
+        def period(st: FastState):
             st = self._rebuild(st)
             one = make_one(st)
 
@@ -936,6 +1168,19 @@ class FastSim:
             terms = jax.tree.map(lambda a: a[-1], terms_s)
             st, terms = finish(st, x, v, f, k, es[-1], terms)
             return st, terms, es
+
+        def chunk(st: FastState):
+            if periods == 1:
+                return period(st)
+
+            def pbody(st, _):
+                st, terms, es = period(st)
+                return st, (terms, es)
+
+            st, (terms_s, es_s) = jax.lax.scan(
+                pbody, st, None, length=periods)
+            terms = jax.tree.map(lambda a: a[-1], terms_s)
+            return st, terms, es_s.reshape(-1)
 
         import os
         mode = os.environ.get("MOLCHANICA_FASTSIM_SCAN", "1")
@@ -1075,12 +1320,27 @@ class FastSim:
         self._sim_time_ps = getattr(self, "_sim_time_ps", 0.0) \
             + dt_ps * n_steps
         k = min(self.cfg.neighbor_rebuild_every, n_steps)
+        # multi-period dispatch (scan mode only): fold several rebuild
+        # cycles into one program to amortize the ~25 ms relay dispatch
+        # floor. Barostat couples to chunk boundaries -> keep periods=1.
+        import os as _os
+        r_max = int(_os.environ.get("MOLCHANICA_CHUNK_PERIODS", "10"))
+        if (self.cfg.barostat_cfg is not None
+                or _os.environ.get("MOLCHANICA_FASTSIM_SCAN", "1") != "1"):
+            r_max = 1
         energies = []
         done = 0
         while done < n_steps:
-            todo = min(k, n_steps - done)
-            fn = self._get_chunk_fn(float(dt_ps), todo, record_energy,
-                                    force_cap)
+            rem = n_steps - done
+            if rem >= 2 * k and r_max > 1:
+                r = min(r_max, rem // k)
+                todo = k * r
+                fn = self._get_chunk_fn(float(dt_ps), k, record_energy,
+                                        force_cap, periods=r)
+            else:
+                todo = min(k, rem)
+                fn = self._get_chunk_fn(float(dt_ps), todo, record_energy,
+                                        force_cap)
             self.state, terms, es = fn(self.state)
             self._last_terms = terms
             if record_energy and es is not None:

@@ -106,7 +106,7 @@ def erfcx_cheb_coeffs(xmax: float, deg: int = None) -> np.ndarray:
     rel err < ~1e-6 for deg 12, ~4e-5 for deg 8 (xmax ~ 3.5) — both far
     below f32 force noise; deg is an env knob for on-chip sweeps."""
     if deg is None:
-        deg = int(os.environ.get("MOLCHANICA_ERFCX_DEG", "12"))
+        deg = int(os.environ.get("MOLCHANICA_ERFCX_DEG", "8"))
     from numpy.polynomial import chebyshev as C
     from scipy.special import erfc
     nodes = np.cos(np.pi * (np.arange(1024) + 0.5) / 1024)
@@ -390,13 +390,21 @@ def make_anchor_sort_fn(plan: ColPlan, anchor_ids, sizes, atom_mask_base):
     return sort
 
 
-def make_window_fn(plan: ColPlan, triangular: bool = False):
+def make_window_fn(plan: ColPlan, triangular: bool = False,
+                   cross_j_size: int = None, per_slice_k: int = 0):
     """windows(x_sorted, keys_sorted, box, atom_mask_sorted)
     -> (wl [NC, 3*W_MAX] int32, nw [NC] int32, overflow int32).
 
+    cross_j_size=S_j: CROSS variant (species-split solute pass) — cluster
+    bounding boxes come from this plan's (subset) array, but slot ranges
+    are computed over a SEPARATE master j-array of S_j slots whose sorted
+    keys/mask arrive as extra arguments: windows(xs, keys, box, mask_s,
+    col_start, keys_j, mask_j). No triangular clamp (the kernel's gid
+    ordering mask dedups same-set pairs).
+
     Each entry is (lo, hi, shift_code): a [lo, hi) SLOT RANGE (up to 27 per
     cluster: 9 columns x 3 z-ranges) plus the packed periodic x/y/z shift
-    the kernel adds to the j-tile (code = (sx+1) + 3(sy+1) + 9(sz+1), s in
+    the kernel adds to the j-tile (code = (sx+1) | (sy+1)<<2 | (sz+1)<<4, s in
     {-1,0,1} box lengths). Baking the full shift per entry is EXACT
     min-image for all in-cutoff pairs (column width >= rcw, nx,ny >= 3 and
     lz >= 2*rcw by plan_columns), so the kernel does NO per-pair min-image
@@ -431,7 +439,8 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
     SH = ZBITS - HB
     NB = 1 << HB
 
-    def windows(xs, keys, box, mask_s, col_start):
+    def windows(xs, keys, box, mask_s, col_start,
+                keys_j=None, mask_j=None):
         lz = box[2]
         wx = box[0] / nx
         wy = box[1] / ny
@@ -448,9 +457,12 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
         # sites); this is ~0.1 ms. Pads get the per-column sentinel bin NB,
         # so real-bin boundaries exclude them and hi clips to the column's
         # real run.
-        real_s = mask_s > 0
-        colk = jnp.clip(keys >> ZBITS, 0, n_cols - 1)
-        bin8 = (keys & zmax) >> SH
+        if cross_j_size is None:
+            keys_j = keys
+            mask_j = mask_s
+        real_s = mask_j > 0
+        colk = jnp.clip(keys_j >> ZBITS, 0, n_cols - 1)
+        bin8 = (keys_j & zmax) >> SH
         bucket = colk * (NB + 1) + jnp.where(real_s, bin8, NB)
         cum_flat = jnp.searchsorted(
             bucket, jnp.arange(n_cols * (NB + 1) + 1, dtype=jnp.int32)
@@ -531,7 +543,7 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
                     ok = (zhi_c > lz) & any_valid & in_reach
                 ok = ok & (bhi >= blo)
                 szd = (1, 0, 2)[wrap]
-                code = (sx + 1) + 3 * (sy + 1) + 9 * szd
+                code = (sx + 1) | ((sy + 1) << 2) | (szd << 4)
                 entries.append((blo, bhi, code, jcol))
                 valids.append(ok)
         blo_all = jnp.stack([jnp.clip(e[0], 0, NB - 1)
@@ -552,7 +564,34 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
         good = ok_all & (hi > lo)
         lo_all = jnp.where(good, lo, 0)
         hi_all = jnp.where(good, hi, 0)
-        sc_all = jnp.where(good, sc_all, 13)
+        sc_all = jnp.where(good, sc_all, 1 | (1 << 2) | (1 << 4))
+        if per_slice_k:
+            # Pre-split every range into 128-lane SLICE entries
+            # (lo_s, hi_s, code): the kernel then runs ONE flat loop with
+            # no per-range ceil-div / nested fori_loop — per-range scalar
+            # overhead measured ~0.5 us on chip, ~45% of kernel time at
+            # 25k sites (ranges avg only 1.8-2.9 slices).
+            K = per_slice_k
+            s0 = lo_all >> 7
+            nsl = jnp.where(good, ((hi_all + 127) >> 7) - s0, 0)
+            os_ = jnp.cumsum(nsl, axis=1) - nsl          # exclusive [NC,E]
+            ns = (os_[:, -1] + nsl[:, -1]).astype(jnp.int32)
+            kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+            sel = (kk >= os_[:, :, None]) & (kk < (os_ + nsl)[:, :, None])
+            off = kk - os_[:, :, None]
+            blk = s0[:, :, None] + off
+            sel_i = sel.astype(jnp.int32)
+            lo_k = jnp.sum(jnp.where(
+                sel, jnp.maximum(lo_all[:, :, None], blk * 128), 0),
+                axis=1)
+            hi_k = jnp.sum(jnp.where(
+                sel, jnp.minimum(hi_all[:, :, None], (blk + 1) * 128), 0),
+                axis=1)
+            sc_k = jnp.sum(sel_i * sc_all[:, :, None], axis=1)
+            overflow = jnp.maximum(jnp.max(ns) - K, 0)
+            wl = jnp.stack([lo_k, hi_k, sc_k], axis=2).reshape(
+                good.shape[0], -1)                       # [NC, 3*K]
+            return wl, jnp.minimum(ns, K), overflow.astype(jnp.int32)
         nw = jnp.sum(good, axis=1).astype(jnp.int32)
         W_ENT = plan.w_max
         overflow = jnp.maximum(jnp.max(nw) - W_ENT, 0)
@@ -579,11 +618,17 @@ def make_window_fn(plan: ColPlan, triangular: bool = False):
 
 def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
                rc2, beta, coeffs, want_energy, alch=None, zmi=None,
-               jmask=None, skip_self_check=False):
+               jmask=None, skip_self_check=False, mode="full"):
     """[ICL, 128] pair math. Returns (coeff = dV/dr2 masked, e_lj, e_c,
     dx, dy, dz). `zmi` = (lz, 1/lz) enables in-tile minimum image on z
     (x/y images are baked into the window entries as exact column shifts;
-    z cannot be, because a cluster's z-extent is unbounded)."""
+    z cannot be, because a cluster's z-extent is unbounded).
+
+    mode: 'full' = LJ + Coulomb; 'lj' / 'coul' skip the other half's math
+    entirely (species-split kernels: in a 4-site water model the O carries
+    only LJ and the H/M sites only charge, so the water-water pair work
+    factors into a small pure-LJ kernel over O sites and a pure-Coulomb
+    kernel over H/M sites — the dominant slot-count lever at 25k sites)."""
     dx = xi - jx
     dy = yi - jy
     dz = zi - jz
@@ -601,47 +646,73 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
     inv_r = jax.lax.rsqrt(r2s)
     inv_r2 = inv_r * inv_r
 
-    sig = shi + jsh                       # sigma_ij (inputs are sigma/2)
-    eps4 = sei * jse                      # 4 eps_ij  (inputs are 2 sqrt(eps))
-    if alch is not None:
-        cpl = alch
-        eps4 = eps4 * cpl
-    sig2 = sig * sig
-    # C1 soft sigma clamp in s^2 space (division-free; see _s2_clamped).
-    # dV/dr2 = dV/ds2 * gp * ds2_raw/dr2 with ds2_raw/dr2 = -s2_raw*inv_r2:
-    # at gp=1, s2=s2_raw this reduces to the classic (3 s6 - 6 s12)*inv_r2.
-    s2_raw = sig2 * inv_r2
-    s2, gp = _s2_clamped(s2_raw)
-    s6 = s2 * s2 * s2
-    dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) * (3.0 - 6.0 * s6)
+    if mode != "coul":
+        sig = shi + jsh                   # sigma_ij (inputs are sigma/2)
+        eps4 = sei * jse                  # 4 eps_ij  (inputs are 2 sqrt(eps))
+        if alch is not None:
+            eps4 = eps4 * alch
+        sig2 = sig * sig
+        # C1 soft sigma clamp in s^2 space (division-free; _s2_clamped).
+        # dV/dr2 = dV/ds2 * gp * ds2_raw/dr2, ds2_raw/dr2 = -s2_raw*inv_r2:
+        # at gp=1, s2=s2_raw this is the classic (3 s6 - 6 s12)*inv_r2.
+        s2_raw = sig2 * inv_r2
+        s2, gp = _s2_clamped(s2_raw)
+        s6 = s2 * s2 * s2
+        dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) * (3.0 - 6.0 * s6)
+    else:
+        dlj = 0.0
 
-    kqq = qi * jq                         # inputs are q * sqrt(k_C)
-    if alch is not None:
-        kqq = kqq * cpl
-    x = beta * (r2s * inv_r)
-    ex = jnp.exp(-x * x)
-    g = coeffs[-1]
-    for c in coeffs[-2::-1]:
-        g = g * x + c
-    erfc_v = g * ex
-    dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
-                          + (0.5 * _TWO_OVER_SQRT_PI * beta) * ex)
+    if mode != "lj":
+        kqq = qi * jq                     # inputs are q * sqrt(k_C)
+        if alch is not None:
+            kqq = kqq * alch
+        x = beta * (r2s * inv_r)
+        ex = jnp.exp(-x * x)
+        g = coeffs[-1]
+        for c in coeffs[-2::-1]:
+            g = g * x + c
+        erfc_v = g * ex
+        dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
+                              + (0.5 * _TWO_OVER_SQRT_PI * beta) * ex)
+    else:
+        dc = 0.0
     coeff = jnp.where(valid, dlj + dc, 0.0)
     if want_energy:
         # energies are gated EXPLICITLY (not left to compiler DCE: the
         # axon relay has miscompiled DCE'd kernel variants before)
-        s12 = s6 * s6
-        e_lj = eps4 * (s12 - s6)
-        e_c = kqq * erfc_v * inv_r
-        zero = jnp.zeros_like(e_lj)
-        return coeff, jnp.where(valid, e_lj, zero), \
-            jnp.where(valid, e_c, zero), dx, dy, dz
+        zero = jnp.zeros_like(coeff)
+        if mode != "coul":
+            s12 = s6 * s6
+            e_lj = jnp.where(valid, eps4 * (s12 - s6), zero)
+        else:
+            e_lj = zero
+        if mode != "lj":
+            e_c = jnp.where(valid, kqq * erfc_v * inv_r, zero)
+        else:
+            e_c = zero
+        return coeff, e_lj, e_c, dx, dy, dz
     return coeff, None, None, dx, dy, dz
 
 
 def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             rc2, beta, coeffs, want_energy, n_lanes, has_alch,
-            triangular=False, i_base=0):
+            triangular=False, i_base=0, mode="full", cross=None,
+            water_filter=None, per_slice=False):
+    """cross=(wlo, whi): CROSS kernel — i-rows are a separate (solute)
+    array while pT is the full master array. Each unordered pair must be
+    counted exactly once even though windows carry the full sphere:
+    j-sites in the water gid range [wlo, whi) are always kept (water
+    kernels never see solute, so this is the pair's only evaluation);
+    other j (solute/ion) pairs are kept only when gj > gi — group ids are
+    unique per non-water atom, giving a strict antisymmetric order (and
+    dropping the self pair). Reaction forces accumulate into o2 over the
+    master array like the triangular path.
+
+    water_filter=(wlo, whi): species-split Q kernel — drop pairs where
+    NEITHER side's group id lies in the water range. The Q subset holds
+    water H/M sites plus all solute atoms; solute-solute pairs are fully
+    evaluated by the L kernel (which also holds the solute), so the Q
+    kernel must keep only pairs with at least one water site."""
     c = pl.program_id(0)
     crow = c - (c // 8) * 8      # row within this program's (8, W) wl block
     irow = rows_ref[:, :]                         # [ICL, 8] (blocked)
@@ -662,11 +733,12 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
     nw = wl_ref[crow, 0]
     zero = jnp.zeros((ICL, n_lanes), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1)
-    if triangular:
+    if triangular or cross is not None:
         # zero the whole-array j-side accumulator once (grid is sequential)
         @pl.when(c == 0)
         def _init():
             o2_ref[...] = jnp.zeros_like(o2_ref)
+    if triangular:
         cl_base = i_base + c * ICL
         islot = cl_base + jax.lax.broadcasted_iota(
             jnp.int32, (ICL, 1), 0)
@@ -681,12 +753,16 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
         # replaces ALL per-pair minimum image (x/y: 6 ops, z: 4 ops) with
         # three scalar adds per window entry. The z digit comes from the
         # wrap ranges (main = 0), which are exact: a range never mixes
-        # wrapped and unwrapped z-images of in-cutoff pairs.
-        shx = (code % 3 - 1).astype(jnp.float32) * lx
-        shy = ((code // 3) % 3 - 1).astype(jnp.float32) * ly
-        shz = (code // 9 - 1).astype(jnp.float32) * lz
+        # wrapped and unwrapped z-images of in-cutoff pairs. Bitfield
+        # packing ((s+1) in 2-bit lanes) decodes with shifts/ands — the
+        # scalar-unit div/mod chains of the base-3 packing were part of a
+        # measured ~0.5 us/window overhead.
+        shx = ((code & 3) - 1).astype(jnp.float32) * lx
+        shy = (((code >> 2) & 3) - 1).astype(jnp.float32) * ly
+        shz = (((code >> 4) & 3) - 1).astype(jnp.float32) * lz
         s0 = lo // n_lanes
-        n_sl = (hi + n_lanes - 1) // n_lanes - s0
+        if not per_slice:
+            n_sl = (hi + n_lanes - 1) // n_lanes - s0
 
         def slice_body(s, carry2):
             fx, fy, fz, elj, ec = carry2
@@ -717,7 +793,18 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
                 lo_eff = jnp.where(own, jnp.maximum(islot + 1, lo), lo)
             else:
                 lo_eff = lo
-            jok = (gid >= lo_eff) & (gid < hi) & (gj != gi)
+            if cross is not None:
+                wlo, whi = cross
+                keep = ((gj >= wlo) & (gj < whi)) | (gj > gi)
+                jok = (gid >= lo_eff) & (gid < hi) & keep
+            elif water_filter is not None:
+                wlo, whi = water_filter
+                is_wi = (gi >= wlo) & (gi < whi)        # [ICL, 1]
+                is_wj = (gj >= wlo) & (gj < whi)        # [1, 128]
+                jok = ((gid >= lo_eff) & (gid < hi) & (gj != gi)
+                       & (is_wi | is_wj))
+            else:
+                jok = (gid >= lo_eff) & (gid < hi) & (gj != gi)
             jx = pT_ref[0:1, pl.ds(start, n_lanes)] + shx
             jy = pT_ref[1:2, pl.ds(start, n_lanes)] + shy
             jz = pT_ref[2:3, pl.ds(start, n_lanes)] + shz
@@ -732,7 +819,9 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             coeff, e_lj, e_c, dx, dy, dz = _pair_tile(
                 xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
                 rc2, beta, coeffs, want_energy, alch,
-                zmi=None, jmask=jok, skip_self_check=triangular)
+                zmi=None, jmask=jok,
+                skip_self_check=triangular or cross is not None,
+                mode=mode)
             c2 = 2.0 * coeff
             # (an MXU force-contraction variant — c2 @ pj^T dot_generals
             # instead of the fma chain — was built and A/B'd on chip in
@@ -743,7 +832,7 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             fx = fx - c2 * dx
             fy = fy - c2 * dy
             fz = fz - c2 * dz
-            if triangular:
+            if triangular or cross is not None:
                 # reaction on j: += 2 coeff d, reduced over i sublanes
                 sl = pl.ds(start, n_lanes)
                 o2_ref[0:1, sl] = o2_ref[0:1, sl] + jnp.sum(
@@ -757,6 +846,10 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
                 ec = ec + e_c
             return fx, fy, fz, elj, ec
 
+        if per_slice:
+            # flat slice table: each entry IS one 128-lane slice (lo/hi
+            # pre-clipped to the slice at rebuild) — no inner loop
+            return slice_body(0, carry)
         return jax.lax.fori_loop(0, n_sl, slice_body, carry)
 
     fx, fy, fz, elj, ec = jax.lax.fori_loop(
@@ -764,7 +857,8 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
     o_ref[:, 0:1] = jnp.sum(fx, axis=1, keepdims=True)
     o_ref[:, 1:2] = jnp.sum(fy, axis=1, keepdims=True)
     o_ref[:, 2:3] = jnp.sum(fz, axis=1, keepdims=True)
-    ehalf = 1.0 if triangular else 0.5   # triangular visits each pair once
+    # triangular/cross visit each unordered pair once
+    ehalf = 1.0 if (triangular or cross is not None) else 0.5
     if want_energy:
         o_ref[:, 3:4] = ehalf * jnp.sum(elj, axis=1, keepdims=True)
         o_ref[:, 4:5] = ehalf * jnp.sum(ec, axis=1, keepdims=True)
@@ -776,7 +870,11 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
                            want_energy: bool = True,
                            interpret: bool = False,
                            triangular: bool = False,
-                           local_shape=None):
+                           local_shape=None,
+                           mode: str = "full",
+                           cross=None,
+                           water_filter=None,
+                           per_slice_k: int = 0):
     """Build direct(rows, pT, wl, nw, box, couple) -> (F_sorted [S,3],
     e_lj, e_c).
 
@@ -797,6 +895,14 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
     (own block + ppermuted halo blocks); window entries must be
     pre-converted to local slot coordinates. Forces return for the local
     j-array; halo parts are reduced back to their owners by the caller.
+
+    mode: 'full' | 'lj' | 'coul' — species-split pair math (_pair_tile).
+
+    cross=(wlo, whi, s_j): CROSS kernel for the solute x master pass of
+    the species-split path — i-rows/wl come from the solute subset array
+    (this plan), pT is the [8, s_j] master array, and window entries are
+    master-slot ranges. Returns (f_i [NC*ICL, 3], f_react [s_j, 3], e_lj,
+    e_c) with each unordered pair counted once (see _kernel docstring).
     """
     NC = plan.n_clusters
     S = plan.n_sorted
@@ -808,6 +914,13 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
         NC, S, i_base = local_shape
     else:
         i_base = 0
+    if cross is not None:
+        assert not triangular and local_shape is None
+        wlo, whi, s_j = cross
+        S = int(s_j)
+        cross_k = (float(wlo), float(whi))
+    else:
+        cross_k = None
     rc2 = float(plan.cutoff) ** 2
     beta = float(plan.beta)
     coeffs = tuple(float(v) for v in plan.erfcx_coeffs)
@@ -815,17 +928,22 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
     kernel = functools.partial(
         _kernel, rc2=rc2, beta=beta, coeffs=coeffs,
         want_energy=want_energy, n_lanes=128, has_alch=has_alch,
-        triangular=triangular, i_base=i_base)
+        triangular=triangular, i_base=i_base, mode=mode, cross=cross_k,
+        water_filter=(tuple(float(v) for v in water_filter)
+                      if water_filter is not None else None),
+        per_slice=bool(per_slice_k))
 
-    # SMEM row width padded to a multiple of 8 words (alignment-safe)
-    _WL_W = ((3 * plan.w_max + 1 + 7) // 8) * 8
+    # SMEM row width padded to a multiple of 8 words (alignment-safe);
+    # per-slice tables (make_window_fn per_slice_k) are wider
+    _W_ENT = per_slice_k if per_slice_k else plan.w_max
+    _WL_W = ((3 * _W_ENT + 1 + 7) // 8) * 8
 
     # wl rows: [nw, entry_0 .. entry_{W_MAX-1}]; blocked 8 clusters per
     # SMEM block (Mosaic requires sublane-dim blocks divisible by 8)
     out_specs = pl.BlockSpec((ICL, 8), lambda c: (c, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((NC * ICL, 8), jnp.float32)
-    if triangular:
+    if triangular or cross is not None:
         out_specs = [out_specs,
                      pl.BlockSpec((8, S), lambda c: (0, 0),
                                   memory_space=pltpu.VMEM)]
@@ -866,6 +984,12 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
         if pad:
             wl_full = jnp.concatenate(
                 [wl_full, jnp.zeros((NC, pad), jnp.int32)], axis=1)
+        if cross is not None:
+            out, o2 = pc(wl_full, rows, pT, params)
+            # i-forces over the subset array; reactions over the master
+            # j-array — merged by the caller (fast_engine split path)
+            return out[:, :3], o2[:3].T, jnp.sum(out[:, 3]), \
+                jnp.sum(out[:, 4])
         if triangular:
             out, o2 = pc(wl_full, rows, pT, params)
             if local_shape is not None:
