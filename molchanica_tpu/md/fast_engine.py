@@ -353,6 +353,14 @@ class FastSim:
         # chip-measured ~0.5 us/range ~ 45% of kernel time). 0 disables.
         psk = int(os.environ.get("MOLCHANICA_PERSLICE_K", "64"))
         self._psk = psk
+        # Experimental: route PME spread/interp through the charged-site
+        # subset only (~75% of an OPC box carries charge; the O does not).
+        # Chip A/B: isolated recip grad 0.661 -> 0.522 ms, but end-to-end
+        # force step unchanged (3.89 ms both ways) -- XLA overlaps the
+        # recip with the direct kernels, so the saving is hidden. Default
+        # OFF until it buys wall-clock.
+        self._pme_subset = os.environ.get("MOLCHANICA_PME_SUBSET",
+                                          "0") == "1"
         self._direct = make_colpair_direct_fn(
             self.plan, has_alch=has_alch, want_energy=True,
             interpret=interpret, triangular=tri, per_slice_k=psk)
@@ -435,11 +443,15 @@ class FastSim:
                             mode="coul", water_filter=wfilt,
                             per_slice_k=psk),
                     )
+                in_pme = (np.abs(np.asarray(top.charges))
+                          * np.asarray(top.atom_mask)) > 1e-12
+                S_P = ((int(in_pme.sum()) + 127) // 128) * 128
                 self._split = dict(
-                    S_L=S_L, S_Q=S_Q,
+                    S_L=S_L, S_Q=S_Q, S_P=max(S_P, 128),
                     plan_L=plan_L, plan_Q=plan_Q,
                     in_L_ext=jnp.asarray(np.append(in_L, False)),
                     in_Q_ext=jnp.asarray(np.append(in_Q, False)),
+                    in_pme_ext=jnp.asarray(np.append(in_pme, False)),
                     kernels=kset, has_solute=has_solute,
                     win_L=make_window_fn(plan_L, triangular=True,
                                          per_slice_k=psk),
@@ -522,7 +534,11 @@ class FastSim:
             sp0 = dict(**sub0(spc["plan_L"], "l"),
                        **sub0(spc["plan_Q"], "q"),
                        gsrc_l=jnp.full((S,), zrow, jnp.int32),
-                       gsrc_q=jnp.full((S,), zrow, jnp.int32))
+                       gsrc_q=jnp.full((S,), zrow, jnp.int32),
+                       pme_idx=jnp.full((spc["S_P"],), S, jnp.int32),
+                       pme_q=jnp.zeros((spc["S_P"],), jnp.float32),
+                       pme_cm=jnp.zeros((spc["S_P"],), jnp.float32),
+                       pme_gsrc=jnp.full((S,), spc["S_P"], jnp.int32))
         state = FastState(
             split=sp0,
             perm=jnp.asarray(perm_init),
@@ -678,6 +694,20 @@ class FastSim:
         zrow = spc["S_L"] + spc["S_Q"]
         sp["gsrc_l"] = jnp.where(gs_l >= 0, gs_l, zrow)
         sp["gsrc_q"] = jnp.where(gs_q >= 0, spc["S_L"] + gs_q, zrow)
+        # charged-subset PME: only |q|>0 sites enter spread/interpolation
+        # (~75% of an OPC box — the O carries no charge). Computed outside
+        # the e_rest grad so the merge is a gather, not a scatter.
+        mq = spc["in_pme_ext"][perm_new]
+        mqc = jnp.cumsum(mq.astype(jnp.int32))
+        nqp = spc["S_P"]
+        tq = jnp.arange(nqp, dtype=jnp.int32)
+        vq = tq < mqc[-1]
+        idx_p = jnp.where(vq, jnp.searchsorted(
+            mqc, tq + 1, side="left").astype(jnp.int32), S)
+        sp["pme_idx"] = idx_p
+        sp["pme_q"] = props_ext[idx_p, 0]
+        sp["pme_cm"] = props_ext[idx_p, 3]
+        sp["pme_gsrc"] = jnp.where(mq, mqc - 1, nqp)
         return sp, ovf
 
     # ------------------------------------------------------------------
@@ -852,6 +882,23 @@ class FastSim:
                 f_dir = comb[sp["gsrc_l"]] + comb[sp["gsrc_q"]]
                 e_lj = elj_l + elj_q
                 e_c = ec_l + ec_q
+                if self._pme_subset:
+                    # charged-subset PME, outside the e_rest grad (a
+                    # gathered recip input inside value_and_grad would
+                    # transpose to a TPU scatter-add; here the force
+                    # merges by one gather)
+                    xq = x_ext[sp["pme_idx"]]
+                    q_sub = (sp["pme_q"]
+                             / np.float32(np.sqrt(COULOMB_CONST))) \
+                        * (1.0 - sp["pme_cm"] * (1.0 - couple))
+                    e_recip_o, g_q = jax.value_and_grad(
+                        lambda xx: self._recip(xx, q_sub, box))(xq)
+                    f_pme = jnp.concatenate(
+                        [g_q, jnp.zeros((1, 3), jnp.float32)],
+                        axis=0)[sp["pme_gsrc"]]
+                else:
+                    e_recip_o = None
+                    f_pme = None
             else:
                 rows = jnp.concatenate(
                     [x_v, props, jnp.zeros((self.S, 0), jnp.float32)],
@@ -859,6 +906,8 @@ class FastSim:
                 pT = rows.T
                 f_dir, e_lj, e_c = direct(
                     rows, pT, st.wl, st.nw, box, couple)
+                e_recip_o = None
+                f_pme = None
 
             q_kc = props[:, 0]
             sh = props[:, 1]
@@ -902,9 +951,12 @@ class FastSim:
                     pm * scnb * cpl14 * eps4 * (s6 * s6 - s6))
                 e14_c = jnp.sum(pm * scee * cpl14 * q_kc[i] * q_kc[j]
                                 * inv_r)
-                # reciprocal + self + erf exclusion correction
+                # reciprocal + self + erf exclusion correction (recip is
+                # evaluated on the charged subset OUTSIDE this grad when
+                # the split path is active — constant here by design)
                 q_eff = q_plain * (1.0 - cm * (1.0 - couple))
-                e_recip = self._recip(xv, q_eff, box)
+                e_recip = (e_recip_o if e_recip_o is not None
+                           else self._recip(xv, q_eff, box))
                 e_self = -beta / jnp.sqrt(jnp.pi) * COULOMB_CONST \
                     * jnp.sum(q_eff * q_eff)
                 # erf part of excluded pairs (they are in the reciprocal
@@ -980,6 +1032,8 @@ class FastSim:
             (e_rest, terms), g = jax.value_and_grad(
                 e_rest_fn, has_aux=True)(x_v)
             f = f_dir - g
+            if f_pme is not None:
+                f = f - f_pme
             f = self._spread_vsite_forces(f, st.vsite_idx, st.vp_of,
                                           st.vp_role, st.vm_of)
             f = f * (props[:, 4:5] > 0)      # col 7 is group id, not 0/1
