@@ -75,6 +75,23 @@ class MiscompiledStepError(RuntimeError):
     retry discriminates: miscompiles usually recompile clean."""
 
 
+class ColpairOverflowError(RuntimeError):
+    """A rebuild exceeded a planned table capacity (window slice entries,
+    sort columns). step() recovers automatically: it restores the state
+    snapshotted at call entry, replans with doubled window capacity, and
+    retries — callers only see this after the retry budget is exhausted."""
+
+
+class _BoxDriftReplan(Exception):
+    """Internal step() signal: NPT box drifted past the plan skin. The
+    state IS valid up to here — carry the completed steps + energies."""
+
+    def __init__(self, steps_done: int, energies):
+        super().__init__("NPT box drift — replan at the current box")
+        self.steps_done = steps_done
+        self.energies = energies
+
+
 @struct.dataclass
 class FastState:
     """Everything that changes during a run, in sorted-slot order [S]."""
@@ -127,8 +144,9 @@ class FastSim:
     """Sorted-state MD engine (PBC systems). Mirrors MdSim's surface."""
 
     def __init__(self, top: Topology, cfg: MdConfig, x0, box_extent,
-                 velocities=None):
+                 velocities=None, per_slice_k=None):
         assert box_extent is not None, "FastSim requires a periodic box"
+        self._psk_override = per_slice_k
         self.top = top
         self.cfg = cfg
         dtype = jnp.dtype(cfg.dtype)
@@ -351,7 +369,8 @@ class FastSim:
         # flat slice tables (one window entry = one 128-lane slice): kills
         # the per-range scalar overhead (ceil-div + nested fori_loop setup,
         # chip-measured ~0.5 us/range ~ 45% of kernel time). 0 disables.
-        psk = int(os.environ.get("MOLCHANICA_PERSLICE_K", "64"))
+        psk = (self._psk_override if self._psk_override is not None
+               else int(os.environ.get("MOLCHANICA_PERSLICE_K", "64")))
         self._psk = psk
         # Experimental: route PME spread/interp through the charged-site
         # subset only (~75% of an OPC box carries charge; the O does not).
@@ -1338,41 +1357,113 @@ class FastSim:
         reference's init relaxation, src/md/mod.rs max_init_relaxation_iters).
         """
         k_reb = self.cfg.neighbor_rebuild_every
-        cp, _ = self._make_cp_cv()
-        force = self._make_force_fn(None)
 
-        def chunk(st: FastState):
-            st = self._rebuild(st)
+        def make_fn():
+            cp, _ = self._make_cp_cv()
+            force = self._make_force_fn(None)
 
-            def body(x, _):
-                f, (e, _t) = force(x, st)
-                norm = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True))
-                step_v = f * (max_disp / jnp.maximum(norm, 1e-9))
-                step_v = jnp.where(norm > 1e-9, step_v, 0.0)
-                x_new = x + step_v * (st.dof[:, None] > 0)
-                if cp is not None:
-                    x_new = cp(x_new, x, st)
-                return x_new, e
+            def chunk(st: FastState):
+                st = self._rebuild(st)
 
-            x, es = jax.lax.scan(body, st.x, None, length=k_reb)
-            f, (e, _t) = force(x, st)     # keep the carried-force invariant
-            return st.replace(x=x, f=f, pe_last=e), es[-1]
+                def body(x, _):
+                    f, (e, _t) = force(x, st)
+                    norm = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True))
+                    step_v = f * (max_disp / jnp.maximum(norm, 1e-9))
+                    step_v = jnp.where(norm > 1e-9, step_v, 0.0)
+                    x_new = x + step_v * (st.dof[:, None] > 0)
+                    if cp is not None:
+                        x_new = cp(x_new, x, st)
+                    return x_new, e
 
-        fn = jax.jit(chunk)
-        done = 0
-        e = None
-        while done < n_iters:
-            self.state, e = fn(self.state)
-            done += k_reb
-        # zero velocities of constrained dofs drifting during the quench
+                x, es = jax.lax.scan(body, st.x, None, length=k_reb)
+                f, (e, _t) = force(x, st)  # keep the carried-force invariant
+                return st.replace(x=x, f=f, pe_last=e), es[-1]
+
+            return jax.jit(chunk)
+
+        fn = make_fn()
+        snap = self.state
+        for attempt in range(5):
+            done = 0
+            e = None
+            while done < n_iters:
+                self.state, e = fn(self.state)
+                done += k_reb
+            if int(self.state.overflow) == 0 or attempt == 4 \
+                    or not self._psk:
+                break
+            # window-table overflow during the quench: restore, widen,
+            # redo (same recovery as step())
+            self.state = snap.replace(overflow=jnp.zeros((), jnp.int32))
+            self._replan(per_slice_k=2 * self._psk)
+            snap = self.state
+            fn = make_fn()
         return float(e)
 
     # ------------------------------------------------------------------
+    def _replan(self, per_slice_k=None):
+        """Rebuild the engine around the CURRENT state: fresh column plan
+        at the current box (NPT drift), optionally wider window tables
+        (overflow recovery). Positions/velocities/step/couple/RNG stream
+        carry over exactly; kernels and chunk programs recompile."""
+        x = self.positions_unsorted()
+        v = self.velocities_unsorted()
+        box = np.asarray(self.state.box, np.float64)
+        keep = dict(_sim_time_ps=getattr(self, "_sim_time_ps", 0.0),
+                    _wall_time=self._wall_time,
+                    snapshots=self.snapshots)
+        carry = dict(step=self.state.step, couple=self.state.couple,
+                     rng_key=self.state.rng_key)
+        psk = self._psk if per_slice_k is None else per_slice_k
+        new = FastSim(self.top, self.cfg, x, box_extent=box,
+                      velocities=v, per_slice_k=psk)
+        self.__dict__.clear()
+        self.__dict__.update(new.__dict__)
+        self.__dict__.update(keep)
+        self.state = self.state.replace(**carry)
+
     def step(self, dt_ps: float, n_steps: int = 1, record_energy=False,
              force_cap=None):
-        t0 = time.perf_counter()
+        """One MD run request. Recovers automatically from the two
+        planned-capacity faults: window-table overflow (restore the
+        call-entry snapshot, double the per-slice window capacity, replan,
+        redo the call) and NPT box drift past the plan skin (state is
+        valid — replan at the current box and continue the remainder)."""
         self._sim_time_ps = getattr(self, "_sim_time_ps", 0.0) \
             + dt_ps * n_steps
+        snap = self.state
+        energies = []
+        remaining = n_steps
+        for attempt in range(8):
+            try:
+                es = self._step_attempt(dt_ps, remaining, record_energy,
+                                        force_cap)
+                if es is not None:
+                    energies.append(es)
+                break
+            except ColpairOverflowError:
+                if attempt >= 4 or not self._psk:
+                    raise
+                self.state = snap.replace(
+                    overflow=jnp.zeros((), jnp.int32))
+                self._replan(per_slice_k=2 * self._psk)
+                snap = self.state
+                energies = []
+                remaining = n_steps
+            except _BoxDriftReplan as bd:
+                # dynamics up to the drift check are valid — keep them
+                if bd.energies is not None:
+                    energies.append(bd.energies)
+                remaining = remaining - bd.steps_done
+                self._replan()
+                snap = self.state
+                if remaining <= 0:
+                    break
+        return jnp.concatenate(energies) if energies else None
+
+    def _step_attempt(self, dt_ps: float, n_steps: int, record_energy,
+                      force_cap):
+        t0 = time.perf_counter()
         k = min(self.cfg.neighbor_rebuild_every, n_steps)
         # multi-period dispatch (scan mode only): fold several rebuild
         # cycles into one program to amortize the ~25 ms relay dispatch
@@ -1404,18 +1495,19 @@ class FastSim:
                     float(dt_ps) * todo)(self.state)
                 # windows/columns were planned for the initial box; a few
                 # percent of isotropic drift stays within the skin, beyond
-                # that the engine must be rebuilt around the new box
+                # that the engine is rebuilt around the new box (step()
+                # catches this, replans, and continues the remainder)
                 ratio = float(self.state.box[0]) / self._box0[0]
                 if abs(ratio - 1.0) > 0.03:
-                    raise RuntimeError(
-                        f"NPT box drifted {100*(ratio-1):+.1f}% from the "
-                        "planned box — rebuild FastSim at the current box "
-                        "(column plan replan required)")
+                    self._wall_time += time.perf_counter() - t0
+                    raise _BoxDriftReplan(
+                        done + todo,
+                        jnp.concatenate(energies) if energies else None)
             done += todo
         ovf = int(self.state.overflow)   # sync point (one fetch per call)
         self._wall_time += time.perf_counter() - t0
         if ovf > 0:
-            raise RuntimeError(
+            raise ColpairOverflowError(
                 f"colpair overflow ({ovf}): column capacity or window "
                 "table exceeded — replan required")
         # Fail fast on non-finite energy: a genuine instability (bad

@@ -151,3 +151,33 @@ def test_fast_forces_match_mdsim_relaxed_tight(water_box):
     assert scale > 0
     rel = np.abs(F[:n_real] - f_ref[:n_real]).max() / scale
     assert rel < 2e-4, f"relaxed-config force disagreement {rel:.2e}"
+
+
+def test_fast_overflow_auto_replan(water_box):
+    """Window-table overflow recovery: an engine planned with a
+    deliberately undersized per-slice window capacity must detect the
+    overflow, restore the call-entry state, replan with doubled capacity,
+    and finish the run — ending statistically identical to an engine
+    planned wide from the start (failure-detection/recovery, SURVEY section 5;
+    the reference's replan-on-overflow analog in dynamics' neighbor build).
+    """
+    asys, box = water_box
+    cfg = _cfg(seed=11)
+    wide = FastSim(asys.topology, cfg, asys.positions, box_extent=box)
+    v0 = wide.velocities_unsorted()
+    wide.step(0.002, 16)
+
+    # capacity 8 slice entries/cluster: the 3x3 window needs ~2x that
+    # here, so the first rebuild overflows deterministically
+    tight = FastSim(asys.topology, cfg, asys.positions, box_extent=box,
+                    velocities=v0, per_slice_k=8)
+    tight.step(0.002, 16)                      # must not raise
+    assert tight._psk > 8                      # replan widened the table
+    assert int(tight.state.overflow) == 0
+    assert tight.step_count == 16
+    e_w = wide.potential_energy()
+    e_t = tight.potential_energy()
+    assert np.isfinite(e_t)
+    # same seed + velocities + exact recovery => same trajectory up to
+    # f32 accumulation-order noise in the differently-shaped kernel
+    assert abs(e_t - e_w) / abs(e_w) < 5e-3, (e_t, e_w)
