@@ -77,19 +77,32 @@ class MiscompiledStepError(RuntimeError):
 
 class ColpairOverflowError(RuntimeError):
     """A rebuild exceeded a planned table capacity (window slice entries,
-    sort columns). step() recovers automatically: it restores the state
-    snapshotted at call entry, replans with doubled window capacity, and
-    retries — callers only see this after the retry budget is exhausted."""
+    sort columns). step() recovers automatically at CHUNK granularity: it
+    restores the last dispatch-verified good state, replans (doubling the
+    per-slice window capacity only when the WINDOW tables overflowed —
+    column-capacity overflow replans at the current box instead), and
+    resumes the remainder — callers only see this after the retry budget
+    is exhausted. `good_state`/`steps_good`/`elen_good` carry the resume
+    point; `window` says which table overflowed."""
+
+    def __init__(self, msg, good_state=None, steps_good=0, elen_good=0,
+                 window=True):
+        super().__init__(msg)
+        self.good_state = good_state
+        self.steps_good = steps_good
+        self.elen_good = elen_good
+        self.window = window
 
 
 class _BoxDriftReplan(Exception):
     """Internal step() signal: NPT box drifted past the plan skin. The
-    state IS valid up to here — carry the completed steps + energies."""
+    state IS valid up to here (its overflow flag is checked BEFORE this
+    is raised) — carry the completed steps; energies already live in the
+    caller's shared list."""
 
-    def __init__(self, steps_done: int, energies):
+    def __init__(self, steps_done: int):
         super().__init__("NPT box drift — replan at the current box")
         self.steps_done = steps_done
-        self.energies = energies
 
 
 @struct.dataclass
@@ -704,7 +717,8 @@ class FastSim:
             x_ext[idx_l], keys_l, box, props_l[:, 4], cs_l)
         wl_q, nw_q, ov4 = spc["win_Q"](
             x_ext[idx_q], keys_q, box, props_q[:, 4], cs_q)
-        ovf = ov1 + ov2 + ov3 + ov4
+        ovf_col = ov1 + ov2          # subset column capacity (sort)
+        ovf_win = ov3 + ov4          # subset window tables
         sp = dict(idx_l=idx_l, props_l=props_l, wl_l=wl_l, nw_l=nw_l,
                   idx_q=idx_q, props_q=props_q, wl_q=wl_q, nw_q=nw_q)
         # merge-gathers: master slot -> its row(s) in concat(fL, fQ,
@@ -727,7 +741,7 @@ class FastSim:
         sp["pme_q"] = props_ext[idx_p, 0]
         sp["pme_cm"] = props_ext[idx_p, 3]
         sp["pme_gsrc"] = jnp.where(mq, mqc - 1, nqp)
-        return sp, ovf
+        return sp, ovf_col, ovf_win
 
     # ------------------------------------------------------------------
     def _rebuild(self, st: FastState) -> FastState:
@@ -784,10 +798,11 @@ class FastSim:
         vsite_new = remap(self._vs_base)
         hc_new = remap(self._hc_idx_base)
         if self._split is not None:
-            sp, ovf3 = self._subset_tables(
+            sp, ovf3c, ovf3w = self._subset_tables(
                 perm_new, keys, col_start, x_new, props_new, st.box)
         else:
-            sp, ovf3 = {}, jnp.zeros((), jnp.int32)
+            zero = jnp.zeros((), jnp.int32)
+            sp, ovf3c, ovf3w = {}, zero, zero
         return st.replace(
             split=sp,
             perm=perm_new, x=x_new, v=v_new, f=f_new, props=props_new,
@@ -799,7 +814,15 @@ class FastSim:
             intra_idx=remap(self._im_idx_base),
             vsite_idx=vsite_new, widx=widx_new,
             hc_idx=hc_new,
-            overflow=st.overflow + ovf1 + ovf2 + ovf3,
+            # two overflow sources, bit-packed so recovery can tell them
+            # apart (advisor round-4): low 15 bits = column capacity
+            # (widening window tables cannot fix it — replan at the same
+            # capacity formula / current box), high bits = window-slice
+            # tables (fixed by doubling per_slice_k). OR-accumulated so a
+            # flag from any rebuild in a multi-period chunk survives.
+            overflow=st.overflow | (
+                jnp.minimum(ovf1 + ovf3c, 0x7FFF)
+                + (jnp.minimum(ovf2 + ovf3w, 0x7FFF) << 15)),
             **self._merge_tables(widx_new, vsite_new, hc_new),
         )
 
@@ -1389,13 +1412,22 @@ class FastSim:
             while done < n_iters:
                 self.state, e = fn(self.state)
                 done += k_reb
-            if int(self.state.overflow) == 0 or attempt == 4 \
-                    or not self._psk:
+            ovf = int(self.state.overflow)
+            if ovf == 0:
                 break
-            # window-table overflow during the quench: restore, widen,
-            # redo (same recovery as step())
+            window = bool(ovf >> 15)
+            if attempt == 4 or (window and not self._psk):
+                # never return an energy computed with truncated tables
+                # (advisor round-4: the corruption would only surface at
+                # the NEXT step() call's sync point)
+                raise ColpairOverflowError(
+                    f"minimize(): overflow (col={ovf & 0x7FFF}, "
+                    f"win={ovf >> 15}) persists after replan budget")
+            # capacity overflow during the quench: restore, widen the
+            # window tables if they are what overflowed, redo
             self.state = snap.replace(overflow=jnp.zeros((), jnp.int32))
-            self._replan(per_slice_k=2 * self._psk)
+            self._replan(per_slice_k=2 * self._psk
+                         if (window and self._psk) else None)
             snap = self.state
             fn = make_fn()
         return float(e)
@@ -1425,44 +1457,59 @@ class FastSim:
     def step(self, dt_ps: float, n_steps: int = 1, record_energy=False,
              force_cap=None):
         """One MD run request. Recovers automatically from the two
-        planned-capacity faults: window-table overflow (restore the
-        call-entry snapshot, double the per-slice window capacity, replan,
-        redo the call) and NPT box drift past the plan skin (state is
-        valid — replan at the current box and continue the remainder)."""
-        self._sim_time_ps = getattr(self, "_sim_time_ps", 0.0) \
-            + dt_ps * n_steps
-        snap = self.state
+        planned-capacity faults, at CHUNK granularity: window-table /
+        column-capacity overflow (restore the last dispatch-verified good
+        state — at most ~2 dispatches of redo — widen the window tables
+        only if they are what overflowed, replan, resume the remainder)
+        and NPT box drift past the plan skin (state is valid — replan at
+        the current box and continue the remainder). Simulated time is
+        credited only for steps actually completed; a retry budget that
+        runs out raises instead of silently under-stepping."""
         energies = []
-        remaining = n_steps
-        for attempt in range(8):
-            try:
-                es = self._step_attempt(dt_ps, remaining, record_energy,
-                                        force_cap)
-                if es is not None:
-                    energies.append(es)
-                break
-            except ColpairOverflowError:
-                if attempt >= 4 or not self._psk:
-                    raise
-                self.state = snap.replace(
-                    overflow=jnp.zeros((), jnp.int32))
-                self._replan(per_slice_k=2 * self._psk)
-                snap = self.state
-                energies = []
-                remaining = n_steps
-            except _BoxDriftReplan as bd:
-                # dynamics up to the drift check are valid — keep them
-                if bd.energies is not None:
-                    energies.append(bd.energies)
-                remaining = remaining - bd.steps_done
-                self._replan()
-                snap = self.state
-                if remaining <= 0:
+        completed = 0            # verified-good steps banked so far
+        try:
+            for attempt in range(8):
+                if completed >= n_steps:
                     break
+                try:
+                    self._step_attempt(dt_ps, n_steps - completed,
+                                       record_energy, force_cap, energies)
+                    completed = n_steps
+                    break
+                except ColpairOverflowError as ov:
+                    # discard the corrupted tail, resume from the last
+                    # good dispatch boundary
+                    if ov.good_state is not None:
+                        self.state = ov.good_state.replace(
+                            overflow=jnp.zeros((), jnp.int32))
+                        completed += ov.steps_good
+                        del energies[ov.elen_good:]
+                    if attempt >= 5 or (ov.window and not self._psk):
+                        raise
+                    psk = 2 * self._psk if (ov.window and self._psk) \
+                        else None
+                    self._replan(per_slice_k=psk)
+                except _BoxDriftReplan as bd:
+                    # dynamics up to the drift check are valid — keep them
+                    completed += bd.steps_done
+                    self._replan()
+            if completed < n_steps:
+                raise ColpairOverflowError(
+                    f"step(): replan retry budget exhausted with only "
+                    f"{completed}/{n_steps} steps completed")
+        finally:
+            self._sim_time_ps = getattr(self, "_sim_time_ps", 0.0) \
+                + dt_ps * completed
         return jnp.concatenate(energies) if energies else None
 
     def _step_attempt(self, dt_ps: float, n_steps: int, record_energy,
-                      force_cap):
+                      force_cap, energies):
+        """Dispatch loop for one attempt. Appends per-dispatch energies
+        into the caller's shared list. Overflow is verified PER DISPATCH,
+        one dispatch behind (the check on dispatch i-1's output runs after
+        dispatch i is submitted, so the device pipeline never stalls);
+        on overflow the raised error carries the last good state so the
+        caller redoes at most ~2 dispatches instead of the whole call."""
         t0 = time.perf_counter()
         k = min(self.cfg.neighbor_rebuild_every, n_steps)
         # multi-period dispatch (scan mode only): fold several rebuild
@@ -1473,8 +1520,25 @@ class FastSim:
         if (self.cfg.barostat_cfg is not None
                 or _os.environ.get("MOLCHANICA_FASTSIM_SCAN", "1") != "1"):
             r_max = 1
-        energies = []
         done = 0
+        # last verified-good resume point; call entry counts (its overflow
+        # flag is 0: fresh init, post-replan, or verified by the last call)
+        good = (self.state, 0, len(energies))
+        pending = None                   # completed but not yet verified
+
+        def verify(entry):
+            nonlocal good
+            st, dn, el = entry
+            ovf = int(st.overflow)       # sync on that dispatch's output
+            if ovf:
+                self._wall_time += time.perf_counter() - t0
+                raise ColpairOverflowError(
+                    f"colpair overflow (col={ovf & 0x7FFF}, "
+                    f"win={ovf >> 15}) — replan required",
+                    good_state=good[0], steps_good=good[1],
+                    elen_good=good[2], window=bool(ovf >> 15))
+            good = entry
+
         while done < n_steps:
             rem = n_steps - done
             if rem >= 2 * k and r_max > 1:
@@ -1490,9 +1554,16 @@ class FastSim:
             self._last_terms = terms
             if record_energy and es is not None:
                 energies.append(es)
+            done += todo
             if self.cfg.barostat_cfg is not None:
+                # the barostat scaling must not run on forces from
+                # truncated tables, and the drift check syncs on the box
+                # anyway — verify this dispatch eagerly (advisor round-4:
+                # a pre-drift overflow must not be swallowed by _replan)
+                verify((self.state, done, len(energies)))
                 self.state, self._last_pressure = self._get_baro_fn(
                     float(dt_ps) * todo)(self.state)
+                good = (self.state, done, len(energies))
                 # windows/columns were planned for the initial box; a few
                 # percent of isotropic drift stays within the skin, beyond
                 # that the engine is rebuilt around the new box (step()
@@ -1500,16 +1571,14 @@ class FastSim:
                 ratio = float(self.state.box[0]) / self._box0[0]
                 if abs(ratio - 1.0) > 0.03:
                     self._wall_time += time.perf_counter() - t0
-                    raise _BoxDriftReplan(
-                        done + todo,
-                        jnp.concatenate(energies) if energies else None)
-            done += todo
-        ovf = int(self.state.overflow)   # sync point (one fetch per call)
+                    raise _BoxDriftReplan(done)
+            else:
+                if pending is not None:
+                    verify(pending)
+                pending = (self.state, done, len(energies))
+        if pending is not None:
+            verify(pending)
         self._wall_time += time.perf_counter() - t0
-        if ovf > 0:
-            raise ColpairOverflowError(
-                f"colpair overflow ({ovf}): column capacity or window "
-                "table exceeded — replan required")
         # Fail fast on non-finite energy: a genuine instability (bad
         # state, timestep, or bug) or — rarely on the axon relay — a
         # remote-compiler miscompile. Either way, continuing would only
@@ -1525,7 +1594,6 @@ class FastSim:
                 "non-finite energy after step chunk (instability or, "
                 "rarely, an axon remote-compile fault — retry in a fresh "
                 "process to discriminate)")
-        return jnp.concatenate(energies) if energies else None
 
     def run(self, dt_ps: float, n_steps: int,
             snapshot_interval: Optional[int] = None, collect=True):

@@ -100,26 +100,46 @@ def _s2_clamped(s2_raw):
     return s2, gp
 
 
-def erfcx_cheb_coeffs(xmax: float, deg: int = None) -> np.ndarray:
+def erfcx_cheb_coeffs(xmax: float, deg: int = None,
+                      tol: float = None) -> np.ndarray:
     """Fit g(x) = erfc(x) * exp(x^2) on [0, xmax] as a plain polynomial
     (Chebyshev-node least squares). Horner-evaluated in the kernel.
-    rel err < ~1e-6 for deg 12, ~4e-5 for deg 8 (xmax ~ 3.5) — both far
-    below f32 force noise; deg is an env knob for on-chip sweeps."""
-    if deg is None:
-        deg = int(os.environ.get("MOLCHANICA_ERFCX_DEG", "8"))
+
+    The degree is chosen AT PLAN TIME from a hard relative-error bound
+    (default 1e-6 — the per-pair fit error amplifies ~3-4x into the
+    summed Coulomb energy, and the BASELINE per-term gate is 1e-4 with
+    tests at 2e-5; round-4 shipped a fixed deg=8 default whose 7.4e-5
+    fit error broke that gate). MOLCHANICA_ERFCX_DEG forces a degree for
+    sweeps; MOLCHANICA_ERFCX_TOL adjusts the bound."""
+    env = os.environ.get("MOLCHANICA_ERFCX_DEG", "auto")
+    if deg is None and env not in ("auto", ""):
+        deg = int(env)
+    if tol is None:
+        tol = float(os.environ.get("MOLCHANICA_ERFCX_TOL", "1e-6"))
     from numpy.polynomial import chebyshev as C
     from scipy.special import erfc
     nodes = np.cos(np.pi * (np.arange(1024) + 0.5) / 1024)
     x = 0.5 * (nodes + 1.0) * xmax
     g = erfc(x) * np.exp(x * x)
-    cheb = C.Chebyshev.fit(x, g, deg, domain=[0.0, xmax], w=1.0 / g)
-    poly = cheb.convert(kind=np.polynomial.Polynomial)
-    c = np.asarray(poly.coef, np.float64)
-    fit = np.polynomial.polynomial.polyval(x, c)
-    err = np.abs(fit - g) / np.abs(g)
-    tol = 5e-6 if deg >= 12 else 1e-4
-    assert err.max() < tol, f"erfcx fit rel err {err.max():.2e}"
-    return c
+
+    def fit_deg(d):
+        cheb = C.Chebyshev.fit(x, g, d, domain=[0.0, xmax], w=1.0 / g)
+        poly = cheb.convert(kind=np.polynomial.Polynomial)
+        c = np.asarray(poly.coef, np.float64)
+        fit = np.polynomial.polynomial.polyval(x, c)
+        return c, float((np.abs(fit - g) / np.abs(g)).max())
+
+    if deg is not None:                     # forced degree (sweep knob)
+        c, err = fit_deg(deg)
+        assert err < 1e-3, f"erfcx fit rel err {err:.2e}"
+        return c
+    for d in range(6, 17):
+        c, err = fit_deg(d)
+        if err < tol:
+            return c
+    raise AssertionError(
+        f"erfcx fit cannot reach tol {tol:.1e} on [0, {xmax:.3f}] "
+        f"by degree 16 (last err {err:.2e})")
 
 
 @dataclass(frozen=True)

@@ -21,3 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: many tests build near-identical FastSim /
+# MdSim instances whose jitted programs lower to identical HLO; the disk
+# cache compiles each distinct program once per MACHINE instead of once
+# per test (the dominant cost of the "not slow" tier on a 1-CPU box).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MOLCHANICA_JAX_CACHE",
+                                 "/tmp/molchanica_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -181,3 +181,81 @@ def test_fast_overflow_auto_replan(water_box):
     # same seed + velocities + exact recovery => same trajectory up to
     # f32 accumulation-order noise in the differently-shaped kernel
     assert abs(e_t - e_w) / abs(e_w) < 5e-3, (e_t, e_w)
+
+
+def test_fast_overflow_chunk_granular_resume(water_box, monkeypatch):
+    """VERDICT r4 ask #7: overflow detected mid-request must resume from
+    the last good dispatch boundary, NOT redo the whole call. Injects a
+    window-overflow flag into the 3rd dispatch's output and counts steps
+    actually executed: the redo must cost at most 2 dispatches (the
+    corrupted one plus the one already in flight when its verification
+    ran — overflow checks trail one dispatch so the device pipeline never
+    stalls)."""
+    asys, box = water_box
+    cfg = _cfg(seed=12, neighbor_rebuild_every=4)
+    monkeypatch.setenv("MOLCHANICA_CHUNK_PERIODS", "2")  # 8-step dispatches
+
+    ref = FastSim(asys.topology, cfg, asys.positions, box_extent=box)
+    v0 = ref.velocities_unsorted()
+    ref.step(0.002, 40)
+
+    sim = FastSim(asys.topology, cfg, asys.positions, box_extent=box,
+                  velocities=v0)
+    executed = []          # steps per dispatch, across replans
+    injected = []
+    orig_get = FastSim._get_chunk_fn
+
+    def patched_get(self, dt, k, rec, cap, periods=1):
+        fn = orig_get(self, dt, k, rec, cap, periods)
+
+        def wrapped(st):
+            st2, terms, es = fn(st)
+            executed.append(k * periods)
+            if len(executed) == 3 and not injected:
+                injected.append(True)    # fake a window-table overflow
+                st2 = st2.replace(overflow=st2.overflow | (1 << 15))
+            return st2, terms, es
+
+        return wrapped
+
+    monkeypatch.setattr(FastSim, "_get_chunk_fn", patched_get)
+    psk0 = sim._psk
+    sim.step(0.002, 40)
+    assert injected
+    assert sim.step_count == 40
+    assert sim._psk == 2 * psk0          # window flag -> widened tables
+    # banked 16 good steps; redo budget: the 8-step corrupted dispatch +
+    # the 8-step in-flight dispatch, nothing more
+    assert sum(executed) - 40 <= 16, executed
+    e_i = sim.potential_energy()
+    e_r = ref.potential_energy()
+    assert abs(e_i - e_r) / abs(e_r) < 5e-3, (e_i, e_r)
+
+
+def test_fast_sim_time_credits_only_completed_steps(water_box, monkeypatch):
+    """Advisor r4: _sim_time_ps must reflect steps actually completed,
+    including across a mid-call overflow recovery (no double credit, no
+    credit for discarded dispatches)."""
+    asys, box = water_box
+    cfg = _cfg(seed=13, neighbor_rebuild_every=4)
+    monkeypatch.setenv("MOLCHANICA_CHUNK_PERIODS", "2")
+    sim = FastSim(asys.topology, cfg, asys.positions, box_extent=box)
+    count = [0]
+    orig_get = FastSim._get_chunk_fn
+
+    def patched_get(self, dt, k, rec, cap, periods=1):
+        fn = orig_get(self, dt, k, rec, cap, periods)
+
+        def wrapped(st):
+            st2, terms, es = fn(st)
+            count[0] += 1
+            if count[0] == 2:
+                st2 = st2.replace(overflow=st2.overflow | (1 << 15))
+            return st2, terms, es
+
+        return wrapped
+
+    monkeypatch.setattr(FastSim, "_get_chunk_fn", patched_get)
+    sim.step(0.002, 24)
+    assert sim.step_count == 24
+    assert abs(sim._sim_time_ps - 24 * 0.002) < 1e-9
