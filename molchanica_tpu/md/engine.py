@@ -355,6 +355,7 @@ class MdSim:
             n_constraints=self.n_constraints,
             external_forces_fn=self._external_forces_fn,
             force_cap=force_cap,
+            cadence=self.cfg.integrator.cadence,
         )
 
     # ------------------------------------------------------------------

@@ -885,8 +885,16 @@ class FastSim:
         return jnp.where((vm_of < V)[:, None], 0.0, f)
 
     # ------------------------------------------------------------------
-    def _make_force_fn(self, st_template, want_energy=True):
-        """force(x, st) -> (f, (e, terms)). Index arrays come from `st`."""
+    def _make_force_fn(self, st_template, want_energy=True,
+                       recip_weight=1.0):
+        """force(x, st) -> (f, (e, terms)). Index arrays come from `st`.
+
+        recip_weight: multiplier on the reciprocal-space (PME) force —
+        1.0 for the plain path; the impulse-MTS hot path uses 0.0 / 2.0
+        on alternating steps (r-RESPA: the slow recip force is applied as
+        a double kick every second step; see _get_chunk_fn). The recip
+        gradient is always evaluated OUTSIDE the e_rest value_and_grad
+        (custom-VJP pass; identical cost, and weight 0 skips it)."""
         plan = self.plan
         beta = self.beta
         ov = self.cfg.overrides
@@ -898,6 +906,7 @@ class FastSim:
         split = self._split
         skern = (split["kernels"][bool(want_energy)]
                  if split is not None else None)
+        rw = float(recip_weight)
 
         def force(x, st: FastState):
             box = st.box
@@ -924,7 +933,7 @@ class FastSim:
                 f_dir = comb[sp["gsrc_l"]] + comb[sp["gsrc_q"]]
                 e_lj = elj_l + elj_q
                 e_c = ec_l + ec_q
-                if self._pme_subset:
+                if self._pme_subset and rw != 0.0:
                     # charged-subset PME, outside the e_rest grad (a
                     # gathered recip input inside value_and_grad would
                     # transpose to a TPU scatter-add; here the force
@@ -959,6 +968,14 @@ class FastSim:
             # would promote q_plain (and everything downstream, incl. the
             # PME cotangents) to f64 under jax_enable_x64
             q_plain = q_kc / np.float32(np.sqrt(COULOMB_CONST))
+            if f_pme is None and rw != 0.0:
+                # full-array recip, outside the e_rest grad (custom-VJP
+                # force pass; constant w.r.t. the e_rest differentiation)
+                q_eff_o = q_plain * (1.0 - cm * (1.0 - couple))
+                e_recip_o, f_pme = jax.value_and_grad(
+                    lambda xx: self._recip(xx, q_eff_o, box))(x_v)
+            elif rw == 0.0:
+                e_recip_o, f_pme = jnp.zeros((), jnp.float32), None
 
             def e_rest_fn(xv):
                 eb = bond_energy(xv, box, st.bond_idx, self.top.bond_k,
@@ -994,11 +1011,9 @@ class FastSim:
                 e14_c = jnp.sum(pm * scee * cpl14 * q_kc[i] * q_kc[j]
                                 * inv_r)
                 # reciprocal + self + erf exclusion correction (recip is
-                # evaluated on the charged subset OUTSIDE this grad when
-                # the split path is active — constant here by design)
+                # ALWAYS evaluated outside this grad now — constant here)
                 q_eff = q_plain * (1.0 - cm * (1.0 - couple))
-                e_recip = (e_recip_o if e_recip_o is not None
-                           else self._recip(xv, q_eff, box))
+                e_recip = e_recip_o
                 e_self = -beta / jnp.sqrt(jnp.pi) * COULOMB_CONST \
                     * jnp.sum(q_eff * q_eff)
                 # erf part of excluded pairs (they are in the reciprocal
@@ -1075,7 +1090,8 @@ class FastSim:
                 e_rest_fn, has_aux=True)(x_v)
             f = f_dir - g
             if f_pme is not None:
-                f = f - f_pme
+                f = f - (f_pme if rw == 1.0
+                         else np.float32(rw) * f_pme)
             f = self._spread_vsite_forces(f, st.vsite_idx, st.vp_of,
                                           st.vp_role, st.vm_of)
             f = f * (props[:, 4:5] > 0)      # col 7 is group id, not 0/1
@@ -1180,8 +1196,28 @@ class FastSim:
                  jnp.zeros((1, 3), res.dtype)], axis=0)
             return merge_rows(v, flat, st.hc_of, st.hc_role, C, 4)
 
+        import os as _os
+        # rolled is the measured default: the compact variant (math on
+        # [NW] gathered stacks instead of all S slots) A/B'd SLOWER on
+        # chip — 7.48 vs 7.25 ms/step at 25k sites — the row gathers +
+        # merge outweigh the 4x redundant (perfectly vectorized) VPU math
+        settle_mode = _os.environ.get("MOLCHANICA_SETTLE", "rolled")
+        n_w = int(self.top.water_count)
+
         def cp(x_new, x_ref, st):
-            if use_settle:
+            if use_settle and settle_mode == "compact":
+                # compact path: gather the 3 water rows per molecule, run
+                # the SETTLE core on [NW] stacks (instead of all S slots
+                # "as if O" in the rolled path — 4x the math for a 3/4-site
+                # solvent), merge back scatter-free through w_of/w_role
+                from .settle import settle_compute
+                res = settle_compute(x_new, x_ref, st.widx, ra, rb, rcs,
+                                     15.999, 1.008, box=st.box)
+                flat = jnp.concatenate(
+                    [res.reshape(-1, 3), jnp.zeros((1, 3), res.dtype)],
+                    axis=0)
+                x_new = merge_rows(x_new, flat, st.w_of, st.w_role, n_w, 3)
+            elif use_settle:
                 # blocked-water layout: rolled SETTLE, zero gathers
                 m_o_mask = (st.w_role == 0) & (st.props[:, 4] > 0)
                 x_new = settle_compute_rolled(
@@ -1192,7 +1228,17 @@ class FastSim:
             return x_new
 
         def cv(v, x, st):
-            if use_settle:
+            if use_settle and settle_mode == "compact":
+                from .settle import settle_velocity_deltas
+                dv = settle_velocity_deltas(v, x, st.widx, 15.999, 1.008,
+                                            box=st.box)
+                flat = jnp.concatenate(
+                    [dv.reshape(-1, 3), jnp.zeros((1, 3), dv.dtype)],
+                    axis=0)
+                gid = jnp.minimum(st.w_of * 3 + jnp.clip(st.w_role, 0, 2),
+                                  n_w * 3)
+                v = v + jnp.where((st.w_of < n_w)[:, None], flat[gid], 0.0)
+            elif use_settle:
                 m_o_mask = (st.w_role == 0) & (st.props[:, 4] > 0)
                 v = settle_velocities_rolled(v, x, m_o_mask, 15.999, 1.008,
                                              box=st.box)
@@ -1226,10 +1272,25 @@ class FastSim:
 
         cfg = self.cfg
         cp, cv = self._make_cp_cv()
+        import os as _os2
+        # impulse MTS (r-RESPA) on the reciprocal force: hot chunks step in
+        # pairs — kick A applies the carried force (which includes the 2x
+        # recip impulse), evals direct-only; kick B applies direct-only,
+        # evals direct + 2x recip. Halves the PME evaluations (~0.6 ms/step
+        # at 25k sites). Energy-recording chunks keep per-step recip.
+        mts = (not record_energy and k_steps % 2 == 0
+               and _os2.environ.get("MOLCHANICA_PME_MTS", "1") == "2"
+               and _os2.environ.get("MOLCHANICA_FASTSIM_SCAN", "1") == "1")
+        if mts:
+            force_A = self._make_force_fn(None, want_energy=False,
+                                          recip_weight=0.0)
+            force_B = self._make_force_fn(None, want_energy=False,
+                                          recip_weight=2.0)
         force = self._make_force_fn(None, want_energy=record_energy)
 
-        def make_one(st):
-            force_st = lambda x, box, couple: force(x, st)
+        def make_one(st, force_v=None):
+            fv = force_v if force_v is not None else force
+            force_st = lambda x, box, couple: fv(x, st)
             cp_st = (lambda xn, xr: cp(xn, xr, st)) if cp else None
             cv_st = (lambda v, x: cv(v, x, st)) if cv else None
             return make_integrator_step(
@@ -1238,7 +1299,8 @@ class FastSim:
                 thermostat_tau=cfg.integrator.thermostat_tau,
                 gamma=cfg.integrator.gamma,
                 constrain_positions=cp_st, constrain_velocities=cv_st,
-                n_constraints=self.n_constraints, force_cap=force_cap)
+                n_constraints=self.n_constraints, force_cap=force_cap,
+                cadence=cfg.integrator.cadence)
 
         def finish(st, x, v, f, k, e_last, terms):
             if cfg.zero_com_drift:
@@ -1248,19 +1310,55 @@ class FastSim:
                               step=st.step + k_steps,
                               pe_last=e_last, ke_last=ke), terms
 
+        is_lang = cfg.integrator.kind == "langevin_middle"
+
         def period(st: FastState):
             st = self._rebuild(st)
-            one = make_one(st)
-
-            def body(carry, _):
-                x, v, f, k = carry
-                x, v, f, e, terms, k = one(x, v, f, st.box, st.couple, k)
-                return (x, v, f, k), (e, terms)
+            key = st.rng_key
+            if is_lang:
+                # draw the whole period's thermostat noise in ONE call:
+                # per-step jax.random.normal inside the scan measured
+                # ~0.53 ms/step at 25k sites (threefry + erfinv op
+                # overhead on a small array); one [k, S, 3] draw
+                # amortizes it ~k-fold
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(
+                    sub, (k_steps,) + st.v.shape, jnp.float32)
+            else:
+                noise = None
 
             # st.f carries the force at st.x across chunk boundaries
             # (rebuild permutes it), so each step costs exactly one eval.
-            (x, v, f, k), (es, terms_s) = jax.lax.scan(
-                body, (st.x, st.v, st.f, st.rng_key), None, length=k_steps)
+            if mts:
+                one_a = make_one(st, force_A)
+                one_b = make_one(st, force_B)
+                ns2 = (None if noise is None else
+                       noise.reshape((k_steps // 2, 2) + st.v.shape))
+
+                def body2(carry, ns):
+                    x, v, f, k = carry
+                    na = None if ns is None else ns[0]
+                    nb = None if ns is None else ns[1]
+                    x, v, f, e, terms, k = one_a(x, v, f, st.box,
+                                                 st.couple, k, noise=na)
+                    x, v, f, e, terms, k = one_b(x, v, f, st.box,
+                                                 st.couple, k, noise=nb)
+                    return (x, v, f, k), (e, terms)
+
+                (x, v, f, k), (es, terms_s) = jax.lax.scan(
+                    body2, (st.x, st.v, st.f, key), ns2,
+                    length=k_steps // 2)
+            else:
+                one = make_one(st)
+
+                def body(carry, ns):
+                    x, v, f, k = carry
+                    x, v, f, e, terms, k = one(x, v, f, st.box, st.couple,
+                                               k, noise=ns)
+                    return (x, v, f, k), (e, terms)
+
+                (x, v, f, k), (es, terms_s) = jax.lax.scan(
+                    body, (st.x, st.v, st.f, key), noise, length=k_steps)
             terms = jax.tree.map(lambda a: a[-1], terms_s)
             st, terms = finish(st, x, v, f, k, es[-1], terms)
             return st, terms, es

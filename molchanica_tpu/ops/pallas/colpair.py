@@ -142,6 +142,39 @@ def erfcx_cheb_coeffs(xmax: float, deg: int = None,
         f"by degree 16 (last err {err:.2e})")
 
 
+def coulomb_kpoly_coeffs(xmax: float, tol: float = None) -> np.ndarray:
+    """Force-only Coulomb kernel polynomial: fit
+        K(x) = erfc(x)/2 + x e^{-x^2} / sqrt(pi),   x = beta*r in [0, xmax]
+    so the per-pair force coefficient is dc = -kqq * K(beta r) / r^3 —
+    ONE polynomial replaces the erfcx Horner + exp + two-term combine
+    (~9 VPU ops/slot off the Coulomb force path). K is entire and bounded,
+    so an ABSOLUTE-error fit is well-conditioned everywhere including the
+    bonded-pair r (the u = r^2 table variant was tried and diverges: the
+    1/u^3/2 spike at the left edge needs degree ~40+).
+
+    Coefficients are a power series in t = 2x/xmax - 1 (f32 Horner in raw
+    x at degree 12+ loses ~3 digits to cancellation; in t it is exact to
+    ~1e-7). Energy kernels keep the erfcx path (they need erfc itself)."""
+    if tol is None:
+        tol = float(os.environ.get("MOLCHANICA_KPOLY_TOL", "5e-6"))
+    from numpy.polynomial import chebyshev as C
+    from scipy.special import erfc
+    nodes = np.cos(np.pi * (np.arange(1024) + 0.5) / 1024)
+    x = 0.5 * (nodes + 1.0) * xmax
+    k = 0.5 * erfc(x) + x * np.exp(-x * x) / np.sqrt(np.pi)
+    t32 = (2.0 * x / xmax - 1.0).astype(np.float32)
+    for d in range(8, 19):
+        ch = C.Chebyshev.fit(x, k, d, domain=[0.0, xmax])
+        c = C.cheb2poly(ch.coef)
+        # validate the f32 Horner the kernel will actually run
+        g = np.full_like(t32, np.float32(c[-1]))
+        for cv in c[-2::-1].astype(np.float32):
+            g = g * t32 + cv
+        if np.abs(g.astype(np.float64) - k).max() < tol:
+            return np.asarray(c, np.float64)
+    raise AssertionError(f"K-poly fit cannot reach {tol:.1e} by degree 18")
+
+
 @dataclass(frozen=True)
 class ColPlan:
     """Static geometry for the column sort + window kernel."""
@@ -156,6 +189,10 @@ class ColPlan:
     skin: float
     beta: float               # Ewald splitting parameter
     erfcx_coeffs: Tuple[float, ...]
+    # force-only Coulomb K-polynomial (coulomb_kpoly_coeffs; power series
+    # in t = 2*beta*r/xmax - 1) + its xmax; empty = use the erfcx path
+    kpoly_coeffs: Tuple[float, ...] = ()
+    kpoly_xmax: float = 0.0
     # molecule-blocked binning margin: rigid-solvent sites inherit their
     # O's sort key (so each water is a contiguous 3/4-slot block), which
     # places a site's key up to r_blob from its true position. Window
@@ -254,10 +291,12 @@ def plan_columns(box_extent, cutoff: float, beta: float, n_atoms_real: int,
     # pairs are masked afterwards), so the fit domain is exactly [0, beta*rc].
     xmax = float(beta) * cutoff + 1e-3
     coeffs = tuple(float(v) for v in erfcx_cheb_coeffs(xmax))
+    kcoeffs = tuple(float(v) for v in coulomb_kpoly_coeffs(xmax))
     return ColPlan(nx=nx, ny=ny, wx=wx, wy=wy, lz=float(box[2]),
                    n_sorted=n_sorted, n_base=n_base,
                    cutoff=float(cutoff), skin=float(skin), beta=float(beta),
-                   erfcx_coeffs=coeffs, r_blob=float(r_blob),
+                   erfcx_coeffs=coeffs, kpoly_coeffs=kcoeffs,
+                   kpoly_xmax=xmax, r_blob=float(r_blob),
                    rings=int(rings), offsets=tuple(offs))
 
 
@@ -638,7 +677,8 @@ def make_window_fn(plan: ColPlan, triangular: bool = False,
 
 def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
                rc2, beta, coeffs, want_energy, alch=None, zmi=None,
-               jmask=None, skip_self_check=False, mode="full"):
+               jmask=None, skip_self_check=False, mode="full",
+               kpoly=None):
     """[ICL, 128] pair math. Returns (coeff = dV/dr2 masked, e_lj, e_c,
     dx, dy, dz). `zmi` = (lz, 1/lz) enables in-tile minimum image on z
     (x/y images are baked into the window entries as exact column shifts;
@@ -686,14 +726,25 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
         kqq = qi * jq                     # inputs are q * sqrt(k_C)
         if alch is not None:
             kqq = kqq * alch
-        x = beta * (r2s * inv_r)
-        ex = jnp.exp(-x * x)
-        g = coeffs[-1]
-        for c in coeffs[-2::-1]:
-            g = g * x + c
-        erfc_v = g * ex
-        dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
-                              + (0.5 * _TWO_OVER_SQRT_PI * beta) * ex)
+        if kpoly is not None and not want_energy:
+            # force-only K-polynomial: dc = -kqq K(beta r)/r^3, one Horner
+            # in t = 2 beta r / xmax - 1 (see coulomb_kpoly_coeffs) —
+            # drops the exp + erfcx Horner + two-term combine
+            kc, kxmax = kpoly
+            t = (r2s * inv_r) * (2.0 * beta / kxmax) - 1.0
+            kk = kc[-1]
+            for c in kc[-2::-1]:
+                kk = kk * t + c
+            dc = -kqq * (kk * (inv_r2 * inv_r))
+        else:
+            x = beta * (r2s * inv_r)
+            ex = jnp.exp(-x * x)
+            g = coeffs[-1]
+            for c in coeffs[-2::-1]:
+                g = g * x + c
+            erfc_v = g * ex
+            dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
+                                  + (0.5 * _TWO_OVER_SQRT_PI * beta) * ex)
     else:
         dc = 0.0
     coeff = jnp.where(valid, dlj + dc, 0.0)
@@ -717,7 +768,7 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
 def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
             rc2, beta, coeffs, want_energy, n_lanes, has_alch,
             triangular=False, i_base=0, mode="full", cross=None,
-            water_filter=None, per_slice=False):
+            water_filter=None, per_slice=False, kpoly=None):
     """cross=(wlo, whi): CROSS kernel — i-rows are a separate (solute)
     array while pT is the full master array. Each unordered pair must be
     counted exactly once even though windows carry the full sphere:
@@ -841,7 +892,7 @@ def _kernel(wl_ref, rows_ref, pT_ref, box_ref, o_ref, o2_ref=None, *,
                 rc2, beta, coeffs, want_energy, alch,
                 zmi=None, jmask=jok,
                 skip_self_check=triangular or cross is not None,
-                mode=mode)
+                mode=mode, kpoly=kpoly)
             c2 = 2.0 * coeff
             # (an MXU force-contraction variant — c2 @ pj^T dot_generals
             # instead of the fma chain — was built and A/B'd on chip in
@@ -945,13 +996,18 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
     beta = float(plan.beta)
     coeffs = tuple(float(v) for v in plan.erfcx_coeffs)
 
+    kpoly = None
+    if (not want_energy and mode != "lj" and plan.kpoly_coeffs
+            and os.environ.get("MOLCHANICA_KPOLY", "1") == "1"):
+        kpoly = (tuple(float(v) for v in plan.kpoly_coeffs),
+                 float(plan.kpoly_xmax))
     kernel = functools.partial(
         _kernel, rc2=rc2, beta=beta, coeffs=coeffs,
         want_energy=want_energy, n_lanes=128, has_alch=has_alch,
         triangular=triangular, i_base=i_base, mode=mode, cross=cross_k,
         water_filter=(tuple(float(v) for v in water_filter)
                       if water_filter is not None else None),
-        per_slice=bool(per_slice_k))
+        per_slice=bool(per_slice_k), kpoly=kpoly)
 
     # SMEM row width padded to a multiple of 8 words (alignment-safe);
     # per-slice tables (make_window_fn per_slice_k) are wider

@@ -147,6 +147,7 @@ def test_colpair_triangular_matches_dense():
     assert np.abs(F - F_ref).max() / f_scale < 5e-5
 
 
+@pytest.mark.heavy
 def test_colpair_rings2_matches_dense():
     """Ring-2 window geometry (narrow columns, disc-culled 5x5 window):
     same physics as the classic 3x3 — coverage, no double counting,
@@ -172,6 +173,7 @@ def test_colpair_rings2_matches_dense():
     assert np.abs(F - F_ref).max() / f_scale < 5e-5
 
 
+@pytest.mark.heavy
 def test_colpair_alchemical_coupling():
     box = np.array([20.0, 20.0, 20.0])
     x, q, sig, eps = _random_system(400, box, seed=2)
@@ -273,3 +275,43 @@ def test_sigma_clamp_is_c1_and_two_path_consistent():
     # old hard clamp: res_ulp peaked at ~1e5; C1 blend keeps it tiny
     assert res_same.max() < 1.0, res_same.max()
     assert res_ulp.max() < 5.0, res_ulp.max()
+
+
+def test_colpair_force_only_kpoly_matches_energy_kernel():
+    """The force-only kernel's Coulomb K-polynomial (dc = -kqq K(beta r)/r^3,
+    coulomb_kpoly_coeffs) must reproduce the energy kernel's erfcx-path
+    forces to the fit bound — the hot FastSim chunks run this variant."""
+    from molchanica_tpu.ops.pallas.colpair import make_colpair_direct_fn
+
+    box = np.array([21.0, 22.0, 23.0])
+    x, q, sig, eps = _random_system(600, box, seed=5)
+    rc = 6.0
+    n = x.shape[0]
+    beta = ewald_beta_for(rc, 1e-5)
+    plan = plan_columns(box, rc, beta, n, n, skin=0.5)
+    sort = jax.jit(make_sort_fn(plan))
+    win = jax.jit(make_window_fn(plan, triangular=True))
+    boxj = jnp.asarray(box, jnp.float32)
+    perm, keys, col_start, _ = sort(
+        jnp.asarray(x, jnp.float32), boxj, jnp.ones((n,), jnp.float32))
+    q_kc = q * np.sqrt(COULOMB_CONST)
+    xw = x - box * np.floor(x / box)
+    base = np.concatenate([
+        xw, np.stack([q_kc, sig / 2, 2 * np.sqrt(eps), np.zeros(n),
+                      1.0 + np.arange(n)], 1)], axis=1).astype(np.float32)
+    base = np.concatenate(
+        [base, np.array([[1e6, 1e6, 1e6, 0, 0, 0, 0, 0]], np.float32)], 0)
+    rows = jnp.asarray(base[np.asarray(perm)])
+    wl, nw, _ = win(rows[:, :3], keys, boxj, rows[:, 7], col_start)
+    couple = jnp.asarray(1.0, jnp.float32)
+    f_e, _, _ = jax.jit(make_colpair_direct_fn(
+        plan, has_alch=False, want_energy=True, interpret=True,
+        triangular=True))(rows, rows.T, wl, nw, boxj, couple)
+    f_ne, _, _ = jax.jit(make_colpair_direct_fn(
+        plan, has_alch=False, want_energy=False, interpret=True,
+        triangular=True))(rows, rows.T, wl, nw, boxj, couple)
+    f_e = np.asarray(f_e)
+    f_ne = np.asarray(f_ne)
+    scale = np.abs(f_e).max()
+    rel = np.abs(f_ne - f_e).max() / scale
+    assert rel < 2e-5, rel
