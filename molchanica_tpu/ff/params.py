@@ -97,10 +97,27 @@ def _impropers_from_adj(adj, types, params):
         if len(nb) != 3:
             continue
         i, j, k = nb
-        terms = params.improper(types[i], types[j], types[c], types[k])
+        terms = _folded(params.improper,
+                        types[i], types[j], types[c], types[k])
         if terms:
             rows.append(((i, j, c, k), terms))
     return rows
+
+
+def _folded(lookup, *ts):
+    """Parameter lookup with the GAFF conjugation-split fold: exact types
+    first, then each split replaced by its parametrized parent class
+    (typing_gaff.GAFF_PARENT — cc/cd->ca, ce/cf->c2, nb/nc/nd->n2, ...).
+    Keeps full-fidelity TYPING (the reference's find_ff_types surface)
+    working against the embedded parameter subset; a real gaff2.dat loaded
+    via parse_dat hits the exact entries and never folds."""
+    p = lookup(*ts)
+    if p is None:
+        from .typing_gaff import fold_type
+        fts = tuple(fold_type(t) for t in ts)
+        if fts != ts:
+            p = lookup(*fts)
+    return p
 
 
 def assign_params(
@@ -125,10 +142,13 @@ def assign_params(
     missing: List[str] = []
     from ..molecules.elements import element_mass
 
+    from .typing_gaff import fold_type
     for t, el in zip(types, elements):
         m = params.masses.get(t)
+        if m is None:
+            m = params.masses.get(fold_type(t))
         masses.append(m if m is not None else element_mass(el))
-        se = params.lj_sigma_eps(t)
+        se = _folded(params.lj_sigma_eps, t)
         if se is None:
             missing.append(f"nonbonded {t}")
             se = (3.0, 0.1)
@@ -138,7 +158,7 @@ def assign_params(
     bond_rows = []
     hclusters: Dict[int, Tuple[List[int], List[float]]] = {}
     for i, j in bonds:
-        p = params.bond(types[i], types[j])
+        p = _folded(params.bond, types[i], types[j])
         if p is None:
             missing.append(f"bond {types[i]}-{types[j]}")
             p = (300.0, float(np.linalg.norm(positions[i] - positions[j])))
@@ -154,7 +174,7 @@ def assign_params(
     angle_idx, adj = _angles_from_bonds(n, bonds)
     angle_rows = []
     for i, j, k in angle_idx:
-        p = params.angle(types[i], types[j], types[k])
+        p = _folded(params.angle, types[i], types[j], types[k])
         if p is None:
             missing.append(f"angle {types[i]}-{types[j]}-{types[k]}")
             p = (50.0, 109.5 * DEG)
@@ -170,7 +190,8 @@ def assign_params(
     for i, j, k, l in _dihedrals_from_bonds(bonds, adj):
         if i > l:   # canonical direction to avoid double counting
             continue
-        terms = params.dihedral(types[i], types[j], types[k], types[l])
+        terms = _folded(params.dihedral,
+                        types[i], types[j], types[k], types[l])
         if terms is None:
             missing.append(
                 f"dihedral {types[i]}-{types[j]}-{types[k]}-{types[l]}")

@@ -217,6 +217,15 @@ EXPERIMENTAL_DATA: Dict[str, str] = {
     # measured acidic pKa (water, 25 C): 40 textbook values (carboxylic
     # acids, phenols, barbiturates); labels a featurizer cannot compute
     "pka_experimental": "data/pka_experimental.csv",
+    # measured logD7.4 (octanol/water at pH 7.4): 50 literature values
+    # (acids at their ionization-corrected logD, neutrals at logP) — the
+    # TDC Lipophilicity_AstraZeneca target trains on MEASURED labels by
+    # default instead of the cLogP surrogate
+    "lipophilicity_astrazeneca": "data/lipophilicity_experimental.csv",
+    # blood-brain-barrier penetration (1/0): 38 curated literature labels
+    # (CNS drugs/anesthetics vs known non-penetrants) — the TDC
+    # BBB_Martins classification target on measured labels
+    "bbb_martins": "data/bbb_experimental.csv",
 }
 TARGETS["logp_experimental"] = TargetSpec(
     "logp_experimental", False, _clogp,
