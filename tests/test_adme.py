@@ -46,6 +46,7 @@ def test_featurization_shapes(dataset):
     assert (cadj == cadj.T).all()
 
 
+@pytest.mark.heavy
 def test_model_learns_regression(dataset):
     mols, y = dataset
     params, scaler, hist = train_adme(

@@ -45,6 +45,7 @@ def test_collect_window_and_errors():
         free_energy_ti_with_sem([w])
 
 
+@pytest.mark.heavy
 def test_engine_dhdl_end_to_end():
     """A coupled LJ particle in a tiny neutral bath: dH/dlambda must be
     nonzero at mid-coupling and ~0 when there is no alchemical molecule."""

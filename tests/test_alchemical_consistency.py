@@ -63,6 +63,7 @@ def test_isolated_molecule_energy_couple_independent(couple):
     assert abs(e1 - ec) < 0.01 + 0.15 * (1.0 - couple * couple), (e1, ec)
 
 
+@pytest.mark.heavy
 def test_dhdl_zero_for_isolated_molecule():
     """dH/dlambda of an isolated molecule must vanish (nothing to
     decouple from)."""
@@ -81,6 +82,7 @@ def test_dhdl_zero_for_isolated_molecule():
     assert abs(float(sim.state.dhdl_last)) < 0.12
 
 
+@pytest.mark.heavy
 def test_solvated_dhdl_finite_and_couple_dependent():
     """With solvent present the solute-solvent term remains: dH/dlambda
     is finite and the total energy DOES change with couple."""

@@ -60,6 +60,7 @@ def test_rigid_align_recovers_pose():
     np.testing.assert_allclose(res.positions, tmpl.positions, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_flexible_align_pulls_toward_template():
     mol = _mol3d("CCCO", seed=2)
     import copy

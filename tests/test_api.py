@@ -65,6 +65,7 @@ def test_add_copies_packing():
     assert d.min() > 4.0   # separated
 
 
+@pytest.mark.heavy
 def test_checkpoint_roundtrip(tmp_path, vacuum_sim):
     from molchanica_tpu.md.checkpoint import load_checkpoint, save_checkpoint
     sim = vacuum_sim

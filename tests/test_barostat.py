@@ -132,6 +132,7 @@ def test_molecular_scaling_preserves_geometry():
     np.testing.assert_allclose(d_new, d_old, atol=1e-9)
 
 
+@pytest.mark.heavy
 def test_npt_water_density_sane():
     """Short NPT on a small water box: box stays finite, moves toward
     (not away from) ambient density, pressure finite."""
@@ -159,6 +160,7 @@ def test_npt_water_density_sane():
         and np.all(box < 20.0)
 
 
+@pytest.mark.heavy
 def test_fastsim_npt_water():
     """NPT on the FAST path: FD molecular-virial pressure through the
     Pallas energy + COM scaling. An under-dense water box (negative

@@ -180,6 +180,7 @@ def water_sim(water_box):
     return sim
 
 
+@pytest.mark.heavy
 def test_water_box_energy_reasonable(water_box, water_sim):
     asys, box = water_box
     e0 = water_sim.potential_energy()
@@ -189,6 +190,7 @@ def test_water_box_energy_reasonable(water_box, water_sim):
     assert e0 / n_w > -25.0, e0 / n_w
 
 
+@pytest.mark.heavy
 def test_water_box_dynamics_stable(water_box, water_sim):
     asys, box = water_box
     sim = water_sim

@@ -41,6 +41,7 @@ def test_characterize(st):
     assert "cLogP" in out and "TPSA" in out
 
 
+@pytest.mark.heavy
 def test_energy_and_minimize(st):
     e1 = handle_cmd(st, "energy")
     assert "energy_potential" in e1

@@ -1,5 +1,6 @@
 """MdConfig JSON persistence (reference MdPrefs, prefs/mod.rs:188) and
 structured run metrics (SURVEY §5 metrics/observability)."""
+import pytest
 import numpy as np
 
 from molchanica_tpu.md.config import (BarostatCfg, HydrogenConstraint,
@@ -24,6 +25,7 @@ def test_config_json_roundtrip(tmp_path):
     assert back == cfg
 
 
+@pytest.mark.heavy
 def test_metrics_and_trace_dir(tmp_path):
     import jax
     from molchanica_tpu.md.engine import MdSim

@@ -1,5 +1,6 @@
 """Determinism policy (docs/DETERMINISM.md): bitwise same-seed
 reproducibility, seed sensitivity, chunking invariance."""
+import pytest
 import numpy as np
 
 from molchanica_tpu.md.config import HydrogenConstraint, Integrator, MdConfig
@@ -21,6 +22,7 @@ def _sim(seed, steps_per_chunk=50):
                  box_extent=asys.box_extent, method="allpairs_cutoff")
 
 
+@pytest.mark.heavy
 def test_same_seed_bitwise():
     a = _sim(11)
     b = _sim(11)
@@ -32,6 +34,7 @@ def test_same_seed_bitwise():
                                   np.asarray(b.state.velocities))
 
 
+@pytest.mark.heavy
 def test_different_seed_diverges():
     a = _sim(11)
     b = _sim(12)
@@ -41,6 +44,7 @@ def test_different_seed_diverges():
                            np.asarray(b.state.positions))
 
 
+@pytest.mark.heavy
 def test_chunking_invariance():
     a = _sim(7, steps_per_chunk=100)
     b = _sim(7, steps_per_chunk=100)

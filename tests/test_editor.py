@@ -1,4 +1,5 @@
 """Mol editor with live MD (reference src/mol_editor/mod.rs:330-347)."""
+import pytest
 import numpy as np
 
 from molchanica_tpu.molecules.common import MoleculeCommon
@@ -36,6 +37,7 @@ def test_delete_and_bond_edits():
     assert ed.mol.bonds == []
 
 
+@pytest.mark.heavy
 def test_live_md_relaxes_while_editing():
     ed = MolEditor(dt_ps=0.0005, steps_per_tick=5)
     c = ed.add_atom("C")

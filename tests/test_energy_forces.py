@@ -46,6 +46,7 @@ def test_term_breakdown_sums(ethanol):
     )
 
 
+@pytest.mark.heavy
 def test_forces_match_numeric_gradient(ethanol):
     top, x0 = ethanol
     cfg = MdConfig()
@@ -89,6 +90,7 @@ def test_overrides_disable_terms(ethanol):
     assert float(no_coul["coulomb"]) == 0.0
 
 
+@pytest.mark.heavy
 def test_lj_dimer_minimum():
     """LJ pair: energy at r = 2^(1/6) sigma must equal -eps, force ~ 0."""
     sigma, eps = 3.4, 0.24

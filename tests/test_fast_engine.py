@@ -18,6 +18,8 @@ from molchanica_tpu.molecules.spec import assemble_system
 from molchanica_tpu.systems.bench_systems import build_solvated_protein
 from molchanica_tpu.systems.water import OPC
 
+pytestmark = pytest.mark.heavy  # minutes-per-test CPU tier (see README)
+
 
 def _cfg(**kw):
     base = dict(

@@ -7,11 +7,14 @@ amide pairs — any such class of bug shows up here as a catastrophic energy
 jump, while healthy f32 dynamics drift at ~5e-3 kcal/mol/ps/site
 (calibrated on this exact system; bound set 5x above)."""
 import numpy as np
+import pytest
 
 from molchanica_tpu.md.config import Integrator, MdConfig
 from molchanica_tpu.md.fast_engine import FastSim
 from molchanica_tpu.molecules.spec import assemble_system
 from molchanica_tpu.systems.water import OPC
+
+pytestmark = pytest.mark.heavy  # minutes-per-test CPU tier (see README)
 
 
 def test_fast_nve_water_energy_conservation():

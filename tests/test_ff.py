@@ -135,6 +135,7 @@ def test_gasteiger_charges():
     assert abs(q[3]) < 0.1            # CH3 hydrogens mild
 
 
+@pytest.mark.heavy
 def test_full_pipeline_sdf_to_md(tmp_path):
     """open SDF -> type -> charges -> params -> vacuum MD: the end-to-end
     small-molecule CADD path."""

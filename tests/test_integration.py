@@ -42,6 +42,7 @@ def test_nve_energy_conservation(ethanol64):
     assert drift < 0.02, f"NVE drift {drift} kcal/mol over 1 ps"
 
 
+@pytest.mark.heavy
 def test_langevin_thermostat_temperature(ethanol64):
     top, x0 = ethanol64
     from molchanica_tpu.md.config import HydrogenConstraint
@@ -89,6 +90,7 @@ def test_csvr_thermostat_temperature(ethanol64):
     assert 150.0 < t_mean < 450.0, t_mean
 
 
+@pytest.mark.heavy
 def test_h_constraints_hold(ethanol64):
     """SHAKE clusters keep X-H distances fixed through dynamics."""
     top0, x0 = build_ethanol(dtype=jnp.float64)

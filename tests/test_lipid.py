@@ -37,6 +37,7 @@ def test_membrane_bilayer_geometry():
     assert allp[:, 2].min() > 0 and allp[:, 2].max() < box[2]
 
 
+@pytest.mark.heavy
 def test_membrane_md_short():
     """A tiny dry bilayer patch must survive capped MD."""
     from molchanica_tpu.md.config import (

@@ -27,6 +27,7 @@ def _butanol():
     return mol
 
 
+@pytest.mark.heavy
 def test_conformers_generated_and_ranked():
     mol = _butanol()
     cs = generate_conformers(mol, n_conformers=8, seed=1)

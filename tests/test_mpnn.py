@@ -115,6 +115,7 @@ def _np_forward(params, bb, k):
     return logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
 
 
+@pytest.mark.heavy
 def test_golden_vs_independent_numpy():
     import jax
 
@@ -158,6 +159,7 @@ def test_ddg_scan_semantics():
     np.testing.assert_allclose(scan[1], 0.0, atol=1e-12)
 
 
+@pytest.mark.heavy
 def test_design_sequences_and_conditional_scoring():
     """Native sequence design (upstream sample() semantics): samples are
     valid sequences, fixed positions are pinned, teacher-forced scoring of

@@ -79,6 +79,7 @@ def test_rna_single_strand():
     assert not any(rn.startswith("D") for rn in m.res_names)
 
 
+@pytest.mark.heavy
 def test_to_spec_and_md_stable():
     """Parameterized duplex must run short capped MD without blowing up
     (BASELINE config 5 building block)."""

@@ -55,6 +55,7 @@ def test_prepare_geometry_sane(prepared):
     assert max(errs) < 0.5, max(errs)
 
 
+@pytest.mark.heavy
 def test_peptide_md_stable(prepared):
     from molchanica_tpu.md.config import (
         HydrogenConstraint, Integrator, MdConfig)

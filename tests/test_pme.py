@@ -98,6 +98,7 @@ def test_pme_matches_exact_recip_random():
     np.testing.assert_allclose(e_pme, e_exact, rtol=4e-4)
 
 
+@pytest.mark.heavy
 def test_recip_force_matches_numeric_gradient():
     import jax
     rng = np.random.default_rng(7)

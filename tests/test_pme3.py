@@ -4,6 +4,7 @@ Same gates as test_pme.py: exact plane-wave reciprocal sum, numeric
 gradients, and equivalence of the generalized spline weights with the
 closed-form order-4 ones.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -61,6 +62,7 @@ def test_pme3_matches_exact_recip_random():
     np.testing.assert_allclose(e, e_exact, rtol=4e-4)
 
 
+@pytest.mark.heavy
 def test_pme3_force_matches_numeric_gradient():
     rng = np.random.default_rng(7)
     n = 16
@@ -117,10 +119,12 @@ def _grad_parity_case(dtype, chunk, rtol):
     np.testing.assert_allclose(gqc, gqa, rtol=rtol, atol=rtol * qscale)
 
 
+@pytest.mark.heavy
 def test_pme3_custom_grad_parity_f64():
     _grad_parity_case(jnp.float64, chunk=16, rtol=1e-10)
 
 
+@pytest.mark.heavy
 def test_pme3_custom_grad_parity_f32():
     _grad_parity_case(jnp.float32, chunk=16, rtol=2e-4)
 

@@ -37,6 +37,7 @@ def test_fixture_is_compact_globule():
     assert x.shape[0] > 500
 
 
+@pytest.mark.heavy
 def test_scorer_finds_pocket_poses_and_matches_mdsim_energy():
     """Pose scorer on the fixture pocket: (a) scoring runs and produces a
     negative best energy (a real cavity binds), (b) the scorer's LJ +

@@ -123,6 +123,7 @@ def test_read_prmtop(tmp_path):
     assert len(spec.hclusters) == 2
 
 
+@pytest.mark.heavy
 def test_prmtop_md_runs(tmp_path):
     import jax
     from molchanica_tpu.md.config import Integrator, MdConfig

@@ -157,6 +157,7 @@ def test_shrinking_box_reaches_density():
     assert data.shrink_steps > 0
 
 
+@pytest.mark.heavy
 def test_shrinking_box_slab_mode_and_batch():
     """Layer/slab start mode + the batch runner (reference
     sol_shrinking_box.rs:85-104 slab modes, :1699 run_on_select_mols)."""

@@ -28,6 +28,7 @@ def lj_bath_sim():
                  box_extent=asys.box_extent, method="allpairs_cutoff")
 
 
+@pytest.mark.heavy
 def test_replica_farm_sharded(lj_bath_sim):
     devices = np.array(jax.devices()[:8])
     mesh = Mesh(devices, axis_names=("replica",))
@@ -45,6 +46,7 @@ def test_replica_farm_sharded(lj_bath_sim):
     assert all(np.isfinite(w.mean) for w in wins)
 
 
+@pytest.mark.heavy
 def test_replica_divergence(lj_bath_sim):
     """Different couples -> different trajectories/energies."""
     farm = ReplicaFarm(lj_bath_sim, 4, couples=[1.0, 0.6, 0.3, 0.0], seed=2)

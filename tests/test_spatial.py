@@ -135,6 +135,7 @@ def test_spatial_md_run_one_sim_over_mesh():
         "no atom migrated between slabs in 60 steps"
 
 
+@pytest.mark.heavy
 def test_spatial_pme_matches_single_device():
     """Full-PME spatial force: erfc direct over halos + replicated-grid
     reciprocal (autodiff through all_gather) must match a single-device
@@ -211,6 +212,7 @@ def test_spatial_pme_matches_single_device():
     assert d / scale < 2e-5, f"PME spatial force mismatch {d/scale:.2e}"
 
 
+@pytest.mark.heavy
 def test_spatial_md_run_with_pme():
     """Sharded MD with full PME electrostatics: a jittered ionic lattice
     stays bound and thermal over a short NVT run."""

@@ -84,15 +84,18 @@ def _parity_case(n, box, rc, seed):
     return halo
 
 
+@pytest.mark.heavy
 def test_sharded_colpair_matches_single_device_small():
     halo = _parity_case(600, np.array([21.0, 22.0, 23.0]), 6.0, seed=11)
     assert halo >= 1          # the halo exchange actually ran
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_sharded_colpair_matches_single_device_25k():
-    """VERDICT r3 ask #5: force parity at 25k sites over the virtual
-    8-device mesh with the production kernel."""
+    """VERDICT r3 ask #5 / r4 ask #8: force parity at 25k sites over the
+    virtual 8-device mesh with the production kernel. Measured ~30 s on
+    the 1-CPU reference box (recorded artifact: docs/SPATIAL25K.json,
+    9.3e-8 rel force agreement)."""
     from molchanica_tpu.systems.bench_systems import build_solvated_protein
     import os
     n_dev = 8

@@ -16,6 +16,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.heavy  # minutes-per-test CPU tier (see README)
+
 
 def _build(seed=3):
     from molchanica_tpu.md.config import (

@@ -14,6 +14,7 @@ def test_registry_covers_reg_and_cls():
     assert len(TARGETS) >= 8
 
 
+@pytest.mark.heavy
 def test_builtin_dataset_valid_and_deterministic():
     a = builtin_smiles(200)
     b = builtin_smiles(200)
@@ -28,6 +29,7 @@ def test_split_disjoint():
     assert not (set(tr) & set(te)) and not (set(va) & set(te))
 
 
+@pytest.mark.heavy
 def test_train_and_infer_regression(tmp_path):
     """Small end-to-end run must beat the mean-predictor baseline on the
     held-out test set (proves real learning, not plumbing)."""
@@ -44,6 +46,7 @@ def test_train_and_infer_regression(tmp_path):
     np.testing.assert_allclose(out, out2)
 
 
+@pytest.mark.heavy
 def test_classification_target():
     res = train_target("hia_hou", n_epochs=12, n_mols=160, save=False,
                        seed=2)

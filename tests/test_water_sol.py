@@ -10,6 +10,8 @@ import pytest
 from molchanica_tpu.properties import WaterSolMdProperties, run_sol_sim
 from molchanica_tpu.systems.testmols import build_lj_dimer
 
+pytestmark = pytest.mark.heavy  # minutes-per-test CPU tier (see README)
+
 
 def _tiny_solute():
     from molchanica_tpu.molecules.spec import MolSpec
