@@ -19,8 +19,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
+_RESULTS = []
+
+
 def report(cfg_name, **kw):
-    print(json.dumps({"config": cfg_name, **kw}), flush=True)
+    row = {"config": cfg_name, **kw}
+    _RESULTS.append(row)
+    print(json.dumps(row), flush=True)
 
 
 def config1_vacuum_ligand():
@@ -216,7 +221,12 @@ def config5_dna_and_screening():
 
 
 def main():
-    which = sys.argv[1:] or ["1", "2", "4", "5"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+    which = args or ["1", "2", "4", "5"]
     fns = {"1": config1_vacuum_ligand, "2": config2_vacuum_peptide,
            "4": config4_docking, "5": config5_dna_and_screening}
     for w in which:
@@ -227,6 +237,12 @@ def main():
             report(f"{w}_failed", error=f"{type(e).__name__}: {e}"[:300])
         print(f"[bench_all] config {w} took "
               f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+    if out_path:
+        # committed artifact (VERDICT r4 ask #5): one JSON line per config
+        with open(out_path, "w") as f:
+            for row in _RESULTS:
+                f.write(json.dumps(row) + "\n")
+        print(f"[bench_all] wrote {out_path}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
