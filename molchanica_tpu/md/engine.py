@@ -484,8 +484,19 @@ class MdSim:
                     out = (e,) if record_energy else ()
                     return (x, v, f, key, box), out
 
+                # Small systems are dominated by in-scan per-op issue
+                # latency (~140 us/step at 33 atoms on a TPU, round-4
+                # PERF): unrolling the scan body lets XLA fuse elementwise
+                # chains ACROSS steps, cutting the op count per step.
+                # Auto-on below 512 atoms; env-overridable.
+                import os as _os
+                unroll = int(_os.environ.get(
+                    "MOLCHANICA_SCAN_UNROLL",
+                    "8" if self.top.n_atoms_real < 512 else "1"))
+                unroll = max(min(unroll, k_steps), 1)
                 (x, v, f, key, box), outs = jax.lax.scan(
-                    body, (x, v, f0, key, box), None, length=k_steps)
+                    body, (x, v, f0, key, box), None, length=k_steps,
+                    unroll=unroll)
                 if baro is not None:
                     # chunk-boundary weak coupling with the EXACT scaling
                     # virial (see md/barostat.py); tau >> k_steps * dt so

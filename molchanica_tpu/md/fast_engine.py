@@ -1161,7 +1161,13 @@ class FastSim:
                 xh = xh + dheavy
                 return xh, r
 
-            xh, r = jax.lax.fori_loop(0, iters, body, (xh, r))
+            # trace-time unroll: the compact per-iteration math is ~15 tiny
+            # ops whose fixed issue cost dominates at C~1e3 clusters; a
+            # Python loop lets XLA fuse across iterations (identical math)
+            carry = (xh, r)
+            for _ in range(iters):
+                carry = body(0, carry)
+            xh, r = carry
             # re-express Hs in their own stored representation (box wrap)
             xk_f = xk_abs + minimum_image(
                 xh[:, None, :] + r - xk_abs, box)
@@ -1197,10 +1203,12 @@ class FastSim:
             return merge_rows(v, flat, st.hc_of, st.hc_role, C, 4)
 
         import os as _os
-        # rolled is the measured default: the compact variant (math on
-        # [NW] gathered stacks instead of all S slots) A/B'd SLOWER on
-        # chip — 7.48 vs 7.25 ms/step at 25k sites — the row gathers +
-        # merge outweigh the 4x redundant (perfectly vectorized) VPU math
+        # rolled is the measured default. Two alternatives both A/B'd
+        # SLOWER on chip: "compact" (math on [NW] gathered stacks, 7.48 vs
+        # 7.25 ms/step — gathers + merge outweigh the 4x redundant VPU
+        # math) and "cw" (component-wise [S] x/y/z arrays, 6.12 vs 6.05 —
+        # XLA already handles the [S,3] minor-dim layout well; the
+        # split/restack boundary costs more than the lane-efficiency win).
         settle_mode = _os.environ.get("MOLCHANICA_SETTLE", "rolled")
         n_w = int(self.top.water_count)
 
@@ -1217,10 +1225,16 @@ class FastSim:
                     [res.reshape(-1, 3), jnp.zeros((1, 3), res.dtype)],
                     axis=0)
                 x_new = merge_rows(x_new, flat, st.w_of, st.w_role, n_w, 3)
-            elif use_settle:
+            elif use_settle and settle_mode == "rolled":
                 # blocked-water layout: rolled SETTLE, zero gathers
                 m_o_mask = (st.w_role == 0) & (st.props[:, 4] > 0)
                 x_new = settle_compute_rolled(
+                    x_new, x_ref, m_o_mask, ra, rb, rcs, 15.999, 1.008,
+                    box=st.box)
+            elif use_settle:
+                from .settle import settle_compute_rolled_cw
+                m_o_mask = (st.w_role == 0) & (st.props[:, 4] > 0)
+                x_new = settle_compute_rolled_cw(
                     x_new, x_ref, m_o_mask, ra, rb, rcs, 15.999, 1.008,
                     box=st.box)
             if use_h:
@@ -1238,10 +1252,15 @@ class FastSim:
                 gid = jnp.minimum(st.w_of * 3 + jnp.clip(st.w_role, 0, 2),
                                   n_w * 3)
                 v = v + jnp.where((st.w_of < n_w)[:, None], flat[gid], 0.0)
-            elif use_settle:
+            elif use_settle and settle_mode == "rolled":
                 m_o_mask = (st.w_role == 0) & (st.props[:, 4] > 0)
                 v = settle_velocities_rolled(v, x, m_o_mask, 15.999, 1.008,
                                              box=st.box)
+            elif use_settle:
+                from .settle import settle_velocities_rolled_cw
+                m_o_mask = (st.w_role == 0) & (st.props[:, 4] > 0)
+                v = settle_velocities_rolled_cw(v, x, m_o_mask,
+                                                15.999, 1.008, box=st.box)
             if use_h:
                 v = hshake_vel(v, x, st)
             return v
@@ -1278,8 +1297,13 @@ class FastSim:
         # recip impulse), evals direct-only; kick B applies direct-only,
         # evals direct + 2x recip. Halves the PME evaluations (~0.6 ms/step
         # at 25k sites). Energy-recording chunks keep per-step recip.
+        # Default ON (chip A/B round 5: 6.96 -> 6.20 ms/step at 25k sites;
+        # 6k-step NVT hold at 310 +- 3 K — scripts/ab_mts.py). At a replan
+        # or record->hot boundary the carried force holds 1x recip where
+        # kick A expects the 2x impulse: a one-kick O(dt) perturbation,
+        # irrelevant for sampling. Set MOLCHANICA_PME_MTS=1 to disable.
         mts = (not record_energy and k_steps % 2 == 0
-               and _os2.environ.get("MOLCHANICA_PME_MTS", "1") == "2"
+               and _os2.environ.get("MOLCHANICA_PME_MTS", "2") == "2"
                and _os2.environ.get("MOLCHANICA_FASTSIM_SCAN", "1") == "1")
         if mts:
             force_A = self._make_force_fn(None, want_energy=False,

@@ -308,6 +308,228 @@ def settle_velocities_rolled(v, x, m_o_mask, m_o, m_h, box=None):
     return (v + dv).astype(v.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Component-wise (structure-of-arrays) rolled path.
+#
+# The [S,3] rolled functions above keep xyz as a minor dim of 3, which TPU
+# tiles as 3 of 128 lanes: every axis=-1 reduction (dot, cross, norm — SETTLE
+# has ~30 of them) runs at ~2% lane efficiency and blocks fusion across the
+# reduce. The _cw variants below hold x/y/z as separate [S] arrays, so the
+# entire projection is a fused chain of full-width [S] elementwise ops and
+# 1-D lane rolls. Identical math, same API ([S,3] in/out; the split/restack
+# is 6 slices + 1 stack at the boundary).
+# ---------------------------------------------------------------------------
+
+def _c(a):
+    return (a[:, 0], a[:, 1], a[:, 2])
+
+
+def _stack(t, dtype):
+    return jnp.stack(t, axis=-1).astype(dtype)
+
+
+def _c_add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _c_sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _c_scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _c_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _c_cross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _c_normalize(a, eps=1e-12):
+    inv = jax.lax.rsqrt(jnp.maximum(_c_dot(a, a), eps * eps))
+    return _c_scale(a, inv)
+
+
+def _c_mi(d, box):
+    """Per-component minimum image; box is a [3] extent (or None)."""
+    if box is None:
+        return d
+    return tuple(d[i] - box[i] * jnp.round(d[i] / box[i]) for i in range(3))
+
+
+def _c_roll(a, k):
+    return (jnp.roll(a[0], k), jnp.roll(a[1], k), jnp.roll(a[2], k))
+
+
+def _settle_core_cw(h10, h20, o1, h11, h21, ra, rb, rc, m_o, m_h):
+    """Miyamoto-Kollman math on component tuples; the old O is the origin
+    (o0 = 0). Mirrors _settle_core exactly — see the comments there."""
+    m_tot = m_o + 2.0 * m_h
+    sm = m_h / m_tot
+    com1 = tuple((m_o / m_tot) * o1[i] + sm * (h11[i] + h21[i])
+                 for i in range(3))
+
+    b0 = h10
+    c0 = h20
+    zax = _c_normalize(_c_cross(b0, c0))
+    a1 = _c_sub(o1, com1)
+    b1 = _c_sub(h11, com1)
+    c1 = _c_sub(h21, com1)
+    a1z = _c_dot(a1, zax)
+    xax = _c_normalize(_c_sub(a1, _c_scale(zax, a1z)))
+    yax = _c_cross(zax, xax)
+
+    def comp(v):
+        return _c_dot(v, xax), _c_dot(v, yax), _c_dot(v, zax)
+
+    _a1x, _a1y, a1z_ = comp(a1)
+    b1x, b1y, b1z = comp(b1)
+    c1x, c1y, c1z = comp(c1)
+
+    sinphi = jnp.clip(a1z_ / ra, -1.0, 1.0)
+    cosphi = jnp.sqrt(jnp.maximum(1.0 - sinphi * sinphi, 1e-12))
+    sinpsi = jnp.clip((b1z - c1z) / (2.0 * rc * cosphi), -1.0, 1.0)
+    cospsi = jnp.sqrt(jnp.maximum(1.0 - sinpsi * sinpsi, 1e-12))
+
+    a2y = ra * cosphi
+    a2z = ra * sinphi
+    b2x = -rc * cospsi
+    b2y = -rb * cosphi - rc * sinpsi * sinphi
+    b2z = -rb * sinphi + rc * sinpsi * cosphi
+    c2x = rc * cospsi
+    c2y = -rb * cosphi + rc * sinpsi * sinphi
+    c2z = -rb * sinphi - rc * sinpsi * cosphi
+
+    com0 = tuple(sm * (h10[i] + h20[i]) for i in range(3))
+    b0r = _c_sub(h10, com0)
+    c0r = _c_sub(h20, com0)
+    b0x, b0y, _ = comp(b0r)
+    c0x, c0y, _ = comp(c0r)
+    alpha = b2x * (b0x - c0x) + b0y * b2y + c0y * c2y
+    beta = b2x * (c0y - b0y) + b0x * b2y + c0x * c2y
+    gamma = b0x * b1y - b1x * b0y + c0x * c1y - c1x * c0y
+    al2be2 = jnp.maximum(alpha * alpha + beta * beta, 1e-24)
+    under = jnp.maximum(al2be2 - gamma * gamma, 0.0)
+    sinth = (alpha * gamma - beta * jnp.sqrt(under)) / al2be2
+    sinth = jnp.clip(sinth, -1.0, 1.0)
+    cos_mag = jnp.sqrt(jnp.maximum(1.0 - sinth * sinth, 1e-24))
+    costh = jnp.where(jnp.abs(beta) > 1e-9,
+                      (gamma - alpha * sinth) / jnp.where(
+                          jnp.abs(beta) > 1e-9, beta, 1.0),
+                      cos_mag)
+    nrm = jnp.sqrt(jnp.maximum(sinth * sinth + costh * costh, 1e-24))
+    sinth = sinth / nrm
+    costh = costh / nrm
+
+    def rot_back(px, py, pz):
+        rx = px * costh - py * sinth
+        ry = px * sinth + py * costh
+        return tuple(rx * xax[i] + ry * yax[i] + pz * zax[i] + com1[i]
+                     for i in range(3))
+
+    a3 = rot_back(jnp.zeros_like(a2y), a2y, a2z)
+    b3 = rot_back(b2x, b2y, b2z)
+    c3 = rot_back(c2x, c2y, c2z)
+    return a3, b3, c3
+
+
+def settle_compute_rolled_cw(x_new, x_old, m_o_mask, ra, rb, rc, m_o, m_h,
+                             box=None):
+    """Component-wise settle_compute_rolled: same API and math, internal
+    structure-of-arrays layout (see module note above)."""
+    dtype = x_new.dtype
+    bc = None if box is None else (box[0], box[1], box[2])
+    xo = _c(x_old)
+    xn = _c(x_new)
+    h10 = _c_mi(_c_sub(_c_roll(xo, -1), xo), bc)
+    h20 = _c_mi(_c_sub(_c_roll(xo, -2), xo), bc)
+    o1 = _c_mi(_c_sub(xn, xo), bc)
+    h11 = _c_mi(_c_sub(_c_roll(xn, -1), xo), bc)
+    h21 = _c_mi(_c_sub(_c_roll(xn, -2), xo), bc)
+    o_r, h1_r, h2_r = _settle_core_cw(h10, h20, o1, h11, h21,
+                                      ra, rb, rc, m_o, m_h)
+
+    def rerep(val_rel, cur):
+        val = _c_add(val_rel, xo)
+        return _c_add(cur, _c_mi(_c_sub(val, cur), bc))
+
+    res_o = rerep(o_r, xn)
+    res_h1 = rerep(h1_r, _c_roll(xn, -1))
+    res_h2 = rerep(h2_r, _c_roll(xn, -2))
+    m = m_o_mask
+    m1 = jnp.roll(m, 1)
+    m2 = jnp.roll(m, 2)
+    out = []
+    for i in range(3):
+        o = jnp.where(m, res_o[i], xn[i])
+        o = jnp.where(m1, jnp.roll(res_h1[i], 1), o)
+        o = jnp.where(m2, jnp.roll(res_h2[i], 2), o)
+        out.append(o)
+    return _stack(out, dtype)
+
+
+def settle_velocities_rolled_cw(v, x, m_o_mask, m_o, m_h, box=None):
+    """Component-wise settle_velocities_rolled (RATTLE projection)."""
+    dtype = v.dtype
+    bc = None if box is None else (box[0], box[1], box[2])
+    xc = _c(x)
+    vc = _c(v)
+    h1 = _c_mi(_c_sub(_c_roll(xc, -1), xc), bc)
+    h2 = _c_mi(_c_sub(_c_roll(xc, -2), xc), bc)
+    vo = vc
+    vh1 = _c_roll(vc, -1)
+    vh2 = _c_roll(vc, -2)
+
+    # constraint edge vectors (o = origin)
+    eab = _c_scale(h1, -1.0)
+    eac = _c_scale(h2, -1.0)
+    ebc = _c_sub(h1, h2)
+    vab = _c_dot(eab, _c_sub(vo, vh1))
+    vac = _c_dot(eac, _c_sub(vo, vh2))
+    vbc = _c_dot(ebc, _c_sub(vh1, vh2))
+    io, ih = 1.0 / m_o, 1.0 / m_h
+
+    a11 = (io + ih) * _c_dot(eab, eab)
+    a12 = io * _c_dot(eab, eac)
+    a13 = -ih * _c_dot(eab, ebc)
+    a22 = (io + ih) * _c_dot(eac, eac)
+    a23 = ih * _c_dot(eac, ebc)
+    a33 = 2.0 * ih * _c_dot(ebc, ebc)
+    a21, a31, a32 = a12, a13, a23
+
+    b1, b2, b3 = -vab, -vac, -vbc
+    c00 = a22 * a33 - a23 * a32
+    c01 = a13 * a32 - a12 * a33
+    c02 = a12 * a23 - a13 * a22
+    det = a11 * c00 + a21 * c01 + a31 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    l1 = (b1 * c00 + b2 * c01 + b3 * c02) * inv_det
+    l2 = (b1 * (a23 * a31 - a21 * a33) + b2 * (a11 * a33 - a13 * a31)
+          + b3 * (a13 * a21 - a11 * a23)) * inv_det
+    l3 = (b1 * (a21 * a32 - a22 * a31) + b2 * (a12 * a31 - a11 * a32)
+          + b3 * (a11 * a22 - a12 * a21)) * inv_det
+
+    dvo = _c_add(_c_scale(eab, io * l1), _c_scale(eac, io * l2))
+    dvh1 = _c_add(_c_scale(eab, -ih * l1), _c_scale(ebc, ih * l3))
+    dvh2 = _c_add(_c_scale(eac, -ih * l2), _c_scale(ebc, -ih * l3))
+
+    m = m_o_mask
+    m1 = jnp.roll(m, 1)
+    m2 = jnp.roll(m, 2)
+    out = []
+    for i in range(3):
+        dv = jnp.where(m, dvo[i], 0.0)
+        dv = dv + jnp.where(m1, jnp.roll(dvh1[i], 1), 0.0)
+        dv = dv + jnp.where(m2, jnp.roll(dvh2[i], 2), 0.0)
+        out.append(vc[i] + dv)
+    return _stack(out, dtype)
+
+
 def settle_positions(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=None):
     """settle_compute + scatter write-back (generic-engine path)."""
     res = settle_compute(x_new, x_old, widx, ra, rb, rc, m_o, m_h, box=box)
