@@ -38,6 +38,9 @@ Commands (PyMol-style where applicable):
   characterize                descriptors (MW, TPSA, cLogP, rings, ...)
   predict <target> <smiles>   therapeutic-model prediction
   targets                     list trained therapeutic targets
+  bg <cmd>                    run any command in the background
+  tasks                       poll background tasks (drain finished)
+  wait <name>                 block on one background task
   session save|load [path]    persist/restore the session
   quit / exit
 """
@@ -50,6 +53,13 @@ class CliState:
     active: Optional[str] = None
     selection: Optional[List[int]] = None
     history: List[str] = field(default_factory=list)
+    tasks: object = None     # lazy TaskRegistry (reference ThreadReceivers)
+
+    def task_registry(self):
+        if self.tasks is None:
+            from .tasks import TaskRegistry
+            self.tasks = TaskRegistry()
+        return self.tasks
 
     def active_mol(self):
         if self.active is None:
@@ -129,6 +139,14 @@ def handle_cmd(state: CliState, line: str) -> str:
         pred = TherapeuticPredictor(m.group(1))
         val = pred.predict([m.group(2)])[0]
         return f"{m.group(1)}({m.group(2)}) = {val:.4f}"
+    m = re.match(r"^bg\s+(.+)$", line, re.I)
+    if m:
+        return _bg(state, m.group(1).strip())
+    if re.match(r"^tasks$", low):
+        return _tasks(state)
+    m = re.match(r"^wait\s+(\S+)$", line, re.I)
+    if m:
+        return _wait(state, m.group(1))
     m = re.match(r"^session\s+(save|load)(?:\s+(\S+))?$", line, re.I)
     if m:
         return _session(state, m.group(1).lower(),
@@ -320,6 +338,72 @@ def _md(state: CliState, n_steps: int, dt: float) -> str:
             f"E = {float(sim.state.pe_last):.4f} kcal/mol")
 
 
+def _bg(state: CliState, sub: str) -> str:
+    """Launch a command in the background (reference: every expensive
+    action runs on a worker thread with an mpsc channel polled per frame,
+    src/threads.rs:32-59; here: `bg <cmd>` + `tasks` to poll, `wait <name>`
+    to join). The task runs against a snapshot of the current CliState so
+    the foreground session stays consistent."""
+    import copy
+
+    reg = state.task_registry()
+    snap = CliState(mols=dict(state.mols), active=state.active,
+                    selection=(list(state.selection)
+                               if state.selection else None))
+    # background MD mutates its own copy of the molecule; the result is
+    # merged into the live session when the task is collected via `tasks`
+    if snap.active is not None:
+        snap.mols[snap.active] = copy.copy(state.mols[state.active])
+    kind = sub.split()[0]
+
+    def work():
+        out = handle_cmd(snap, sub)
+        return out, snap
+
+    h = reg.submit(kind, work)
+    return f"launched task {h.name!r} (`tasks` to poll, `wait {h.name}`)"
+
+
+def _collect(state: CliState, name: str, handle) -> str:
+    out, snap = handle.result
+    # merge molecule mutations (e.g. bg md moved the active mol) back
+    for k, v in snap.mols.items():
+        state.mols[k] = v
+    return f"[{name} done in {handle.elapsed_s:.1f}s]\n{out}"
+
+
+def _tasks(state: CliState) -> str:
+    reg = state.task_registry()
+    lines = []
+    for name, h in reg.poll():
+        if h.error is not None:
+            lines.append(f"[{name} FAILED] {h.error}")
+        else:
+            lines.append(_collect(state, name, h))
+    for h in reg.running():
+        lines.append(f"[{h.name} running {h.elapsed_s:.1f}s]")
+    return "\n".join(lines) if lines else "(no tasks)"
+
+
+def _wait(state: CliState, name: str) -> str:
+    from .tasks import TaskError
+
+    reg = state.task_registry()
+    try:
+        h = reg.get(name)
+    except KeyError as e:
+        raise CliError(str(e))
+    try:
+        h.join()
+    except TaskError as e:
+        return f"[{name} FAILED] {e}"
+    drained = dict(reg.poll())           # consume its completion record
+    for other, oh in drained.items():
+        if other != name and oh.error is None:
+            _collect(state, other, oh)
+    return _collect(state, name, h)
+
+
 def _characterize(state: CliState) -> str:
     from .molecules.characterization import characterize
 
@@ -383,6 +467,14 @@ def main(argv=None) -> int:
         return 0
     print("molchanica-tpu CLI — `help` for commands, `quit` to exit")
     while True:
+        # pre-prompt poll: surface finished background tasks (reference
+        # polls its thread receivers once per frame, src/threads.rs:77)
+        if state.tasks is not None:
+            for name, h in state.tasks.poll():
+                if h.error is not None:
+                    print(f"[{name} FAILED] {h.error}")
+                else:
+                    print(_collect(state, name, h))
         try:
             line = input("molc> ")
         except (EOFError, KeyboardInterrupt):

@@ -101,3 +101,47 @@ def test_fetch_from_embedded_db():
     from molchanica_tpu.cli import CliError
     with pytest.raises(CliError, match="not in the embedded databases"):
         handle_cmd(st, "fetch definitely-not-a-molecule")
+
+
+def test_task_registry_basic():
+    """TaskRegistry: submit/poll-exactly-once/join + error surfacing
+    (reference ThreadReceivers contract, src/threads.rs:32-77)."""
+    import time
+
+    from molchanica_tpu.tasks import TaskError, TaskRegistry
+
+    reg = TaskRegistry()
+    h1 = reg.submit("ok", lambda: 41 + 1)
+    h2 = reg.submit("boom", lambda: 1 / 0)
+    assert h1.join(10.0) == 42
+    try:
+        h2.join(10.0)
+        assert False, "expected TaskError"
+    except TaskError as e:
+        assert "division" in str(e)
+    time.sleep(0.05)
+    drained = dict(reg.poll())
+    assert set(drained) == {h1.name, h2.name}
+    assert reg.poll() == []          # exactly-once delivery
+    assert reg.running() == []
+
+
+def test_cli_bg_md_roundtrip():
+    """bg md runs in the background; tasks/wait collect the result and
+    merge the moved molecule back into the live session."""
+    from molchanica_tpu.cli import CliState, handle_cmd
+    from molchanica_tpu.molecules.smiles import from_smiles
+    from molchanica_tpu.molecules.embed import embed_3d
+
+    st = CliState()
+    mol = from_smiles("CO")
+    embed_3d(mol)
+    st.mols["meoh"] = mol
+    st.active = "meoh"
+    x0 = np.asarray(mol.positions).copy()
+    out = handle_cmd(st, "bg md 50 0.0005")
+    assert "launched task" in out
+    name = out.split("'")[1]
+    out = handle_cmd(st, f"wait {name}")
+    assert "done in" in out and "T =" in out
+    assert not np.allclose(np.asarray(st.mols["meoh"].positions), x0)
