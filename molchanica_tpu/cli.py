@@ -2,9 +2,10 @@
 
 Reference parity: src/cli.rs (PyMol-syntax command line: help/fetch/save/
 load/show/select resn|resi|elem/remove/pwd/ls/cd) re-targeted at a headless
-terminal. Camera/render verbs (orient/turn/view/...) are UI-only and have
-no headless meaning; in their place the framework verbs expose the actual
-compute surface (energy, minimize, md, characterize, predict, logp, ...).
+terminal. Camera/render verbs (orient/turn/zoom/png) drive the headless
+renderer (render.py) instead of a swapchain; move/rotate are the headless
+mol-manipulation analog (ref src/mol_manip.rs); the framework verbs expose
+the actual compute surface (energy, minimize, md, characterize, predict...).
 
 Run `python -m molchanica_tpu` for a REPL, or pass one command:
 `python -m molchanica_tpu "load mol.sdf" "energy"`.
@@ -38,6 +39,13 @@ Commands (PyMol-style where applicable):
   characterize                descriptors (MW, TPSA, cLogP, rings, ...)
   predict <target> <smiles>   therapeutic-model prediction
   targets                     list trained therapeutic targets
+  turn <x|y|z> <deg>          orbit the camera about an axis
+  zoom <factor>               zoom the camera (>1 in, <1 out)
+  orient / reset              frame the camera on the active molecule
+  move <dx> <dy> <dz>         translate the active molecule (A)
+  rotate <x|y|z> <deg>        rotate the active molecule about its centroid
+  png <path> [mode]           render to an image (ball_stick|sticks|spheres|
+                              backbone|points)
   bg <cmd>                    run any command in the background
   tasks                       poll background tasks (drain finished)
   wait <name>                 block on one background task
@@ -54,6 +62,14 @@ class CliState:
     selection: Optional[List[int]] = None
     history: List[str] = field(default_factory=list)
     tasks: object = None     # lazy TaskRegistry (reference ThreadReceivers)
+    camera: object = None    # lazy render.Camera (reference arc cam)
+
+    def get_camera(self):
+        if self.camera is None:
+            from .render import Camera
+            self.camera = Camera()
+            self._cam_framed = False
+        return self.camera
 
     def task_registry(self):
         if self.tasks is None:
@@ -139,6 +155,49 @@ def handle_cmd(state: CliState, line: str) -> str:
         pred = TherapeuticPredictor(m.group(1))
         val = pred.predict([m.group(2)])[0]
         return f"{m.group(1)}({m.group(2)}) = {val:.4f}"
+    m = re.match(r"^turn\s+([xyz])\s+(-?[\d.]+)$", low)
+    if m:
+        cam = state.get_camera()
+        deg = float(m.group(2))
+        if m.group(1) == "y":
+            cam.orbit(d_elevation_deg=deg)
+        else:                       # x and z both orbit azimuthally
+            cam.orbit(d_azimuth_deg=deg)
+        return (f"camera: az={cam.azimuth_deg:.0f} "
+                f"el={cam.elevation_deg:.0f} d={cam.distance:.1f}")
+    m = re.match(r"^zoom\s+([\d.]+)$", low)
+    if m:
+        cam = state.get_camera()
+        cam.zoom(float(m.group(1)))
+        return f"camera: d={cam.distance:.1f}"
+    if re.match(r"^(orient|reset)$", low):
+        cam = state.get_camera()
+        cam.azimuth_deg = cam.elevation_deg = 0.0
+        cam.snap_to(np.asarray(state.active_mol().positions, float))
+        state._cam_framed = True
+        return (f"camera framed on {state.active} "
+                f"(d={cam.distance:.1f})")
+    m = re.match(r"^move\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)$", low)
+    if m:
+        mol = state.active_mol()
+        shift = np.array([float(m.group(i)) for i in (1, 2, 3)])
+        mol.positions = np.asarray(mol.positions, float) + shift
+        return f"moved {state.active} by {shift.tolist()} A"
+    m = re.match(r"^rotate\s+([xyz])\s+(-?[\d.]+)$", low)
+    if m:
+        mol = state.active_mol()
+        ax, th = "xyz".index(m.group(1)), np.radians(float(m.group(2)))
+        c, s = np.cos(th), np.sin(th)
+        rot = np.eye(3)
+        a, b = [(1, 2), (0, 2), (0, 1)][ax]
+        rot[a, a] = rot[b, b] = c
+        rot[a, b], rot[b, a] = -s, s
+        cen = np.asarray(mol.positions, float).mean(axis=0)
+        mol.positions = (np.asarray(mol.positions, float) - cen) @ rot.T + cen
+        return f"rotated {state.active} {m.group(2)} deg about {m.group(1)}"
+    m = re.match(r"^png\s+(\S+)(?:\s+(\w+))?$", line, re.I)
+    if m:
+        return _render_png(state, m.group(1), m.group(2) or "ball_stick")
     m = re.match(r"^bg\s+(.+)$", line, re.I)
     if m:
         return _bg(state, m.group(1).strip())
@@ -252,6 +311,22 @@ def _select_expr(state: CliState, expr: str) -> str:
     except SelectionError as e:
         raise CliError(f"selection: {e}")
     return _sel_name(state)
+
+
+def _render_png(state: CliState, path: str, mode: str) -> str:
+    """Render the active molecule through the session camera (the headless
+    render() analog, ref src/render.rs:94)."""
+    from .render import RenderStyle, Scene
+
+    mol = state.active_mol()
+    cam = state.get_camera()
+    if not getattr(state, "_cam_framed", False):
+        cam.snap_to(np.asarray(mol.positions, float))
+        state._cam_framed = True
+    sc = Scene(camera=cam)
+    sc.add_mol(mol, RenderStyle(mode=mode))
+    out = sc.render(path, title=getattr(mol, "name", "") or state.active)
+    return f"wrote {out} ({mode}, {mol.n_atoms} atoms)"
 
 
 def _remove_selection(state: CliState) -> str:
