@@ -226,6 +226,13 @@ EXPERIMENTAL_DATA: Dict[str, str] = {
     # (CNS drugs/anesthetics vs known non-penetrants) — the TDC
     # BBB_Martins classification target on measured labels
     "bbb_martins": "data/bbb_experimental.csv",
+    # measured Caco-2 apparent permeability log10(Papp, cm/s), A->B
+    # monolayer assay: 40 drugs with literature values of the kind the
+    # Hou/Wang compilations curate (propranolol -4.38 ... mannitol -6.42);
+    # inter-lab spread on this assay is ~0.3 log units — the TDC
+    # Caco2_Wang target trains on MEASURED labels by default instead of
+    # the TPSA/HBD permeability surrogate
+    "caco2_wang": "data/caco2_experimental.csv",
 }
 TARGETS["logp_experimental"] = TargetSpec(
     "logp_experimental", False, _clogp,
