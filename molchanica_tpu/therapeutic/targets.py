@@ -233,6 +233,17 @@ EXPERIMENTAL_DATA: Dict[str, str] = {
     # Caco2_Wang target trains on MEASURED labels by default instead of
     # the TPSA/HBD permeability surrogate
     "caco2_wang": "data/caco2_experimental.csv",
+    # human intestinal absorption class (1 = HIA >= 30%, the Hou-dataset
+    # convention): 44 drugs with documented absorbed fractions — orally
+    # absorbed drugs vs the classic non-absorbed set (mannitol,
+    # bisphosphonates, foscarnet, ganciclovir, sulfasalazine, ...);
+    # the TDC HIA_Hou classification target on measured labels
+    "hia_hou": "data/hia_experimental.csv",
+    # measured human plasma protein binding (% bound): 40 drugs with
+    # standard pharmacology-reference values (warfarin 99, digoxin-class
+    # lows, metformin ~0) — the TDC PPBR_AZ regression target trains on
+    # MEASURED labels by default instead of the logP-based proxy
+    "ppbr_az": "data/ppbr_experimental.csv",
 }
 TARGETS["logp_experimental"] = TargetSpec(
     "logp_experimental", False, _clogp,
