@@ -58,6 +58,20 @@ _TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
 # equilibration, or excluded intramolecular pairs) are evaluated at the
 # clamped distance. The subtraction path applies the SAME clamp.
 R2_MIN = 0.25
+# Alchemical softcore (only compiled into has_alch kernels; all terms are
+# exactly 0.0 / 1.0 for non-alchemical pairs, so the math below is bitwise
+# neutral at alch == 1 and the exclusion-subtraction cancellation survives).
+# LJ: Beutler form, matching ops/nonbonded.py lj_softcore_energy —
+#   inv = s6 / (alpha (1-cpl) s6 + 1);  V = 4 eps cpl (inv^2 - inv).
+# Coulomb: r^2-softcore on the 1/r prefactor only (the erfc argument keeps
+# the real distance; erfc <= 1 there) —
+#   V = cpl kqq erfc(beta r) / sqrt(r^2 + alpha max(sig^2, floor) (1-cpl)).
+# The sigma^2 floor covers zero-sigma hydrogens (GROMACS sc-sigma analog).
+# Without this the linear endpoint diverges: round-5 chip TI showcase
+# measured <dH/dl> = -48905 at lambda=1 (water overlapping the ghost
+# solute at the C1 LJ clamp) vs ~8 at lambda=0.
+SC_ALPHA = 0.5
+SC_SIG2_MIN = 9.0
 # LJ distances are additionally floored at SIG_CLAMP * sigma_ij: excluded
 # intramolecular pairs sit at ~0.3 sigma where r^-12 reaches ~1e7 and the
 # f32 window-minus-subtraction cancellation would leave O(1) kcal/mol noise.
@@ -706,6 +720,17 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
     inv_r = jax.lax.rsqrt(r2s)
     inv_r2 = inv_r * inv_r
 
+    # alchemical softcore scales (see SC_ALPHA docs): 1 - alch == 0 for
+    # every non-alchemical pair, so a_lj = 0 / soft_c = 0 there and the
+    # expressions below reduce bitwise to the plain path
+    if alch is not None:
+        sigsc = shi + jsh
+        a_lj = SC_ALPHA * (1.0 - alch)
+        soft_c = jnp.maximum(sigsc * sigsc, SC_SIG2_MIN) * a_lj
+        inv_rc = jax.lax.rsqrt(r2s + soft_c)
+    else:
+        inv_rc = inv_r
+
     if mode != "coul":
         sig = shi + jsh                   # sigma_ij (inputs are sigma/2)
         eps4 = sei * jse                  # 4 eps_ij  (inputs are 2 sqrt(eps))
@@ -718,7 +743,16 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
         s2_raw = sig2 * inv_r2
         s2, gp = _s2_clamped(s2_raw)
         s6 = s2 * s2 * s2
-        dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) * (3.0 - 6.0 * s6)
+        if alch is not None:
+            # Beutler: V = eps4 (inv^2 - inv), inv = s6/(a s6 + 1);
+            # dV/dr2 = eps4 inv_r2 (gp s2_raw) s2^2 invd^2 (3 - 6 inv)
+            invd = 1.0 / (a_lj * s6 + 1.0)
+            s6 = s6 * invd
+            dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) \
+                * (invd * invd) * (3.0 - 6.0 * s6)
+        else:
+            dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) \
+                * (3.0 - 6.0 * s6)
     else:
         dlj = 0.0
 
@@ -743,8 +777,16 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
             for c in coeffs[-2::-1]:
                 g = g * x + c
             erfc_v = g * ex
-            dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
-                                  + (0.5 * _TWO_OVER_SQRT_PI * beta) * ex)
+            if alch is not None:
+                # d/dr2 of erfc(beta r) / r_sc, r_sc^2 = r^2 + soft_c
+                # (erfc keeps the real r; soft_c == 0 -> plain values)
+                dc = -kqq * ((0.5 * _TWO_OVER_SQRT_PI * beta)
+                             * ex * inv_r * inv_rc
+                             + 0.5 * erfc_v * inv_rc * inv_rc * inv_rc)
+            else:
+                dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
+                                      + (0.5 * _TWO_OVER_SQRT_PI * beta)
+                                      * ex)
     else:
         dc = 0.0
     coeff = jnp.where(valid, dlj + dc, 0.0)
@@ -758,7 +800,7 @@ def _pair_tile(xi, yi, zi, qi, shi, sei, jx, jy, jz, jq, jsh, jse,
         else:
             e_lj = zero
         if mode != "lj":
-            e_c = jnp.where(valid, kqq * erfc_v * inv_r, zero)
+            e_c = jnp.where(valid, kqq * erfc_v * inv_rc, zero)
         else:
             e_c = zero
         return coeff, e_lj, e_c, dx, dy, dz
@@ -997,7 +1039,11 @@ def make_colpair_direct_fn(plan: ColPlan, has_alch: bool,
     coeffs = tuple(float(v) for v in plan.erfcx_coeffs)
 
     kpoly = None
-    if (not want_energy and mode != "lj" and plan.kpoly_coeffs
+    # has_alch: the K-polynomial folds erfc'/r^3 into ONE Horner, which
+    # cannot express the softcore 1/r_sc prefactor — alchemical kernels
+    # take the (slightly costlier) erfcx force branch instead
+    if (not want_energy and mode != "lj" and not has_alch
+            and plan.kpoly_coeffs
             and os.environ.get("MOLCHANICA_KPOLY", "1") == "1"):
         kpoly = (tuple(float(v) for v in plan.kpoly_coeffs),
                  float(plan.kpoly_xmax))
@@ -1116,8 +1162,17 @@ def pairlist_colpair_energy(x, box, idx, mask, q_kc, sig_half, eps_2sqrt,
     cpl = 1.0 - is_alch * (1.0 - couple)
     eps4 = eps4 * cpl
     sig2 = sig * sig
+    # alchemical softcore, mirroring _pair_tile's alch branch op-for-op
+    # (a_lj and soft_c are exactly 0.0 for non-alchemical pairs, so the
+    # plain-path values are reproduced bitwise and exclusion subtraction
+    # still cancels to roundoff)
+    a_lj = SC_ALPHA * (1.0 - cpl)
+    soft_c = jnp.maximum(sig2, SC_SIG2_MIN) * a_lj
+    inv_rc = jax.lax.rsqrt(r2s + soft_c)
     s2, _ = _s2_clamped(sig2 * inv_r2)         # same C1 clamp as the kernel
     s6 = s2 * s2 * s2
+    invd = 1.0 / (a_lj * s6 + 1.0)             # Beutler 1/(a s6 + 1)
+    s6 = s6 * invd
     s12 = s6 * s6
     e_lj = eps4 * (s12 - s6)
     kqq = q_kc[i] * q_kc[j] * cpl
@@ -1127,7 +1182,7 @@ def pairlist_colpair_energy(x, box, idx, mask, q_kc, sig_half, eps_2sqrt,
     for c in coeffs[-2::-1]:
         g = g * xx + c
     erfc_v = g * ex
-    e_c = kqq * erfc_v * inv_r
+    e_c = kqq * erfc_v * inv_rc
     zero = jnp.zeros_like(e_lj)
     return (jnp.sum(jnp.where(valid, e_lj, zero)) * lj_scale,
             jnp.sum(jnp.where(valid, e_c, zero)) * coulomb_scale)

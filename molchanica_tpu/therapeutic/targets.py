@@ -244,6 +244,11 @@ EXPERIMENTAL_DATA: Dict[str, str] = {
     # lows, metformin ~0) — the TDC PPBR_AZ regression target trains on
     # MEASURED labels by default instead of the logP-based proxy
     "ppbr_az": "data/ppbr_experimental.csv",
+    # measured elimination half-life, log10(hours): 41 drugs with
+    # standard clinical-PK values (phenobarbital ~99 h ... amoxicillin
+    # ~1 h) — the TDC Half_Life_Obach regression target on measured
+    # labels instead of the MW/rotor count proxy
+    "half_life_obach": "data/half_life_experimental.csv",
 }
 TARGETS["logp_experimental"] = TargetSpec(
     "logp_experimental", False, _clogp,

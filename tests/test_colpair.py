@@ -50,26 +50,38 @@ def _dense_reference(xw, q, sig, eps, box, rc, beta, couple_mask=None,
     s = sh[:, None] + sh[None, :]
     eps4 = np.outer(2 * np.sqrt(eps), 2 * np.sqrt(eps))
     kqq = np.outer(q_kc, q_kc)
+    from molchanica_tpu.ops.pallas.colpair import (
+        _S2_HI, _S2_LO, _S2_W, SC_ALPHA, SC_SIG2_MIN)
+    a_lj = 0.0
+    inv_rc = inv_r
     if couple_mask is not None:
         cm = couple_mask
         is_alch = cm[:, None] + cm[None, :] - 2 * np.outer(cm, cm)
         cpl = 1.0 - is_alch * (1.0 - couple)
         eps4 = eps4 * cpl
         kqq = kqq * cpl
-    from molchanica_tpu.ops.pallas.colpair import _S2_HI, _S2_LO, _S2_W
+        # alchemical softcore (Beutler LJ + r^2-softcore Coulomb),
+        # matching _pair_tile's alch branch
+        a_lj = SC_ALPHA * (1.0 - cpl)
+        soft_c = np.maximum((s * s), SC_SIG2_MIN) * a_lj
+        inv_rc = 1.0 / np.sqrt(r2s + soft_c)
     s2_raw = (s * s) * inv_r2
     u = np.clip(s2_raw - _S2_LO, 0.0, _S2_W)
     s2 = np.minimum(s2_raw, _S2_HI) - u * u * (0.5 / _S2_W)
     gp = 1.0 - u * (1.0 / _S2_W)
     s6 = s2 ** 3
+    invd = 1.0 / (a_lj * s6 + 1.0)
+    s6 = s6 * invd
     s12 = s6 ** 2
     e_lj = eps4 * (s12 - s6)
-    dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) * (3.0 - 6.0 * s6)
+    dlj = eps4 * inv_r2 * (gp * s2_raw) * (s2 * s2) * (invd * invd) \
+        * (3.0 - 6.0 * s6)
     r = r2s * inv_r
     erfc_v = erfc(beta * r)
-    e_c = kqq * erfc_v * inv_r
-    dc = -kqq * inv_r2 * (0.5 * erfc_v * inv_r
-                          + beta / np.sqrt(np.pi) * np.exp(-(beta * r) ** 2))
+    e_c = kqq * erfc_v * inv_rc
+    dc = -kqq * (beta / np.sqrt(np.pi) * np.exp(-(beta * r) ** 2)
+                 * inv_r * inv_rc
+                 + 0.5 * erfc_v * inv_rc ** 3)
     coeff = np.where(valid, dlj + dc, 0.0)
     F = -(2.0 * coeff[:, :, None] * d).sum(axis=1)
     return (0.5 * np.where(valid, e_lj, 0).sum(),
